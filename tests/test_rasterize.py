@@ -1,0 +1,150 @@
+"""Golden tests: JAX tiled rasterizer vs the independent NumPy oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from worldrenderer_tpu import (
+    RasterizerConfig,
+    get_camera,
+    get_clip_space_position,
+    icosphere,
+    rasterize,
+)
+from reference_raster import rasterize_np
+
+
+def _compare(rast_jax, rast_np, edge_tol_frac=0.005):
+    """Compare allowing a small fraction of disagreeing pixels at triangle
+    edges (fp tie-breaking), but require near-exact agreement elsewhere."""
+    rast_jax = np.asarray(rast_jax)
+    ids_j = rast_jax[..., 3].astype(np.int32)
+    ids_n = rast_np[..., 3].astype(np.int32)
+    same = ids_j == ids_n
+    frac_diff = 1.0 - same.mean()
+    assert frac_diff <= edge_tol_frac, f"{frac_diff:.4%} of pixel ids differ"
+    for c, name, tol in ((0, "u", 1e-4), (1, "v", 1e-4), (2, "z/w", 1e-4)):
+        a = rast_jax[..., c][same]
+        b = rast_np[..., c][same]
+        err = np.abs(a - b).max() if a.size else 0.0
+        assert err < tol, f"channel {name}: max err {err}"
+
+
+def test_single_triangle_exact():
+    # One triangle filling part of the screen, w=1 (ortho-style).
+    pos = np.zeros((1, 3, 4), np.float32)
+    pos[0, :, 3] = 1.0
+    pos[0, 0, :2] = [-0.5, -0.5]
+    pos[0, 1, :2] = [0.5, -0.5]
+    pos[0, 2, :2] = [0.0, 0.5]
+    tri = np.array([[0, 1, 2]], np.int32)
+    rast = np.asarray(rasterize(jnp.asarray(pos), jnp.asarray(tri), (64, 64)))
+    ref = rasterize_np(pos, tri, (64, 64))
+    _compare(rast, ref, edge_tol_frac=0.0)
+    # Centroid pixel: barycentrics near (1/3, 1/3)
+    mask = rast[0, :, :, 3] > 0
+    assert mask.sum() > 0
+    # u + v <= 1 everywhere covered
+    assert np.all(rast[0, mask, 0] + rast[0, mask, 1] <= 1.0 + 1e-5)
+
+
+def test_triangle_winding_invariance():
+    pos = np.zeros((1, 3, 4), np.float32)
+    pos[0, :, 3] = 1.0
+    pos[0, 0, :2] = [-0.6, -0.4]
+    pos[0, 1, :2] = [0.6, -0.3]
+    pos[0, 2, :2] = [0.1, 0.6]
+    tri_fwd = np.array([[0, 1, 2]], np.int32)
+    tri_rev = np.array([[0, 2, 1]], np.int32)
+    r1 = np.asarray(rasterize(jnp.asarray(pos), jnp.asarray(tri_fwd), (32, 32)))
+    r2 = np.asarray(rasterize(jnp.asarray(pos), jnp.asarray(tri_rev), (32, 32)))
+    # coverage identical regardless of winding (no backface culling)
+    np.testing.assert_array_equal(r1[..., 3] > 0, r2[..., 3] > 0)
+    # u of fwd (weight of v1) == v of rev (v1 moved to slot 2)
+    m = r1[..., 3] > 0
+    np.testing.assert_allclose(r1[..., 0][m], r2[..., 1][m], atol=1e-5)
+
+
+def test_icosphere_multiview_vs_reference():
+    verts, faces = icosphere(subdivisions=2)
+    cam = get_camera(
+        elevation_deg=[15.0] * 4,
+        distance=[2.5] * 4,
+        fovy_deg=[40.0] * 4,
+        azimuth_deg=[0.0, 90.0, 180.0, 270.0],
+    )
+    pos_clip = get_clip_space_position(
+        jnp.asarray(verts, jnp.float32), cam.mvp_mtx
+    )
+    tri = jnp.asarray(faces, jnp.int32)
+    rast = rasterize(pos_clip, tri, (128, 128))
+    ref = rasterize_np(np.asarray(pos_clip), faces, (128, 128))
+    _compare(rast, ref)
+
+
+def test_zbuffer_ordering():
+    # Two overlapping triangles at different depths; nearer one must win.
+    pos = np.zeros((1, 6, 4), np.float32)
+    pos[0, :, 3] = 1.0
+    # far triangle (z=0.5) listed FIRST
+    pos[0, 0] = [-0.8, -0.8, 0.5, 1.0]
+    pos[0, 1] = [0.8, -0.8, 0.5, 1.0]
+    pos[0, 2] = [0.0, 0.8, 0.5, 1.0]
+    # near triangle (z=-0.5)
+    pos[0, 3] = [-0.8, -0.8, -0.5, 1.0]
+    pos[0, 4] = [0.8, -0.8, -0.5, 1.0]
+    pos[0, 5] = [0.0, 0.8, -0.5, 1.0]
+    tri = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    rast = np.asarray(rasterize(jnp.asarray(pos), jnp.asarray(tri), (64, 64)))
+    mask = rast[0, :, :, 3] > 0
+    assert np.all(rast[0, mask, 3] == 2.0)
+    assert np.allclose(rast[0, mask, 2], -0.5, atol=1e-5)
+
+
+def test_binning_cap_and_tile_sizes():
+    verts, faces = icosphere(subdivisions=2)
+    cam = get_camera(
+        elevation_deg=[0.0], distance=[2.5], fovy_deg=[40.0], azimuth_deg=[30.0]
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    base = np.asarray(rasterize(pos_clip, tri, (96, 96)))
+    for cfg in (
+        RasterizerConfig(tile_h=16, tile_w=32, chunk=16),
+        RasterizerConfig(tile_h=8, tile_w=128, chunk=64),
+        RasterizerConfig(tile_h=32, tile_w=128, chunk=32, max_tris_per_tile=960),
+    ):
+        other = np.asarray(rasterize(pos_clip, tri, (96, 96), cfg))
+        np.testing.assert_allclose(other, base, atol=1e-5)
+
+
+def test_behind_camera_culled():
+    pos = np.zeros((1, 3, 4), np.float32)
+    pos[0, 0] = [-0.5, -0.5, 0.0, 1.0]
+    pos[0, 1] = [0.5, -0.5, 0.0, 1.0]
+    pos[0, 2] = [0.0, 0.5, 0.0, -1.0]  # behind camera (w < 0)
+    tri = np.array([[0, 1, 2]], np.int32)
+    rast = np.asarray(rasterize(jnp.asarray(pos), jnp.asarray(tri), (32, 32)))
+    assert np.all(rast[..., 3] == 0)
+
+
+def test_degenerate_triangle_skipped():
+    pos = np.zeros((1, 3, 4), np.float32)
+    pos[0, :, 3] = 1.0
+    pos[0, 0, :2] = [0.0, 0.0]
+    pos[0, 1, :2] = [0.5, 0.5]
+    pos[0, 2, :2] = [0.25, 0.25]  # collinear
+    tri = np.array([[0, 1, 2]], np.int32)
+    rast = np.asarray(rasterize(jnp.asarray(pos), jnp.asarray(tri), (32, 32)))
+    assert np.all(rast[..., 3] == 0)
+
+
+def test_nonsquare_resolution():
+    verts, faces = icosphere(subdivisions=1)
+    cam = get_camera(
+        elevation_deg=[5.0], distance=[3.0], fovy_deg=[45.0], azimuth_deg=[10.0],
+        aspect_wh=720 / 480,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    rast = rasterize(pos_clip, jnp.asarray(faces, jnp.int32), (480, 720))
+    ref = rasterize_np(np.asarray(pos_clip), faces, (480, 720))
+    _compare(rast, ref)

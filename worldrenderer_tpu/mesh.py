@@ -1,0 +1,379 @@
+"""TexturedMesh pytree, vertex normals/tangents via segment-sum, host loader.
+
+Reference contracts: mvadapter/utils/mesh_utils/mesh.py:24-345. The torch
+``scatter_add_`` accumulation (mesh.py:106-108, mesh.py:150-153) becomes
+``jax.ops.segment_sum`` — the idiomatic XLA scatter reduction.
+
+The mesh is a frozen NamedTuple pytree so it flows through jit/vmap/pjit.
+Normals/tangents are computed eagerly by pure functions (`with_normals`)
+instead of the reference's lazy mutating properties.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera import normalize
+from .transforms import dot
+
+__all__ = [
+    "TexturedMesh",
+    "compute_vertex_normals",
+    "compute_vertex_tangents",
+    "with_normals",
+    "load_mesh",
+    "icosphere",
+    "make_grid_mesh",
+]
+
+
+class TexturedMesh(NamedTuple):
+    """Mesh container pytree (reference mesh.py:24-185).
+
+    v_pos: (V, 3) f32; t_pos_idx: (T, 3) i32.
+    v_tex/t_tex_idx/texture: optional UV coordinates + texture image (H, W, C).
+    stitched_*: vertex-merged topology used for smooth normals
+    (reference mesh.py:85-119); equals the primary topology when the mesh is
+    already stitched.
+    v_nrm/v_tang: optional precomputed per-vertex normal/tangent.
+    """
+
+    v_pos: jnp.ndarray
+    t_pos_idx: jnp.ndarray
+    v_tex: Optional[jnp.ndarray] = None
+    t_tex_idx: Optional[jnp.ndarray] = None
+    texture: Optional[jnp.ndarray] = None
+    stitched_v_pos: Optional[jnp.ndarray] = None
+    stitched_t_pos_idx: Optional[jnp.ndarray] = None
+    v_nrm: Optional[jnp.ndarray] = None
+    v_tang: Optional[jnp.ndarray] = None
+
+    @property
+    def num_vertices(self) -> int:
+        return self.v_pos.shape[0]
+
+    @property
+    def num_faces(self) -> int:
+        return self.t_pos_idx.shape[0]
+
+    @property
+    def uv_size(self) -> Optional[int]:
+        return None if self.texture is None else self.texture.shape[0]
+
+
+def compute_vertex_normals(v_pos: jnp.ndarray, t_pos_idx: jnp.ndarray) -> jnp.ndarray:
+    """Area-weighted vertex normals by splatting face normals
+    (reference mesh.py:85-119), as a segment-sum."""
+    i0, i1, i2 = t_pos_idx[:, 0], t_pos_idx[:, 1], t_pos_idx[:, 2]
+    v0, v1, v2 = v_pos[i0], v_pos[i1], v_pos[i2]
+    face_normals = jnp.cross(v1 - v0, v2 - v0)  # (T, 3)
+    n = v_pos.shape[0]
+    idx = jnp.concatenate([i0, i1, i2])
+    vals = jnp.concatenate([face_normals] * 3)
+    v_nrm = jax.ops.segment_sum(vals, idx, num_segments=n)
+    v_nrm = jnp.where(
+        dot(v_nrm, v_nrm) > 1e-20, v_nrm, jnp.array([0.0, 0.0, 1.0], v_nrm.dtype)
+    )
+    return normalize(v_nrm)
+
+
+def compute_vertex_tangents(
+    v_pos: jnp.ndarray,
+    t_pos_idx: jnp.ndarray,
+    v_tex: jnp.ndarray,
+    t_tex_idx: jnp.ndarray,
+    v_nrm: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-vertex tangents from UV-space edges (reference mesh.py:121-167)."""
+    pos = [v_pos[t_pos_idx[:, i]] for i in range(3)]
+    tex = [v_tex[t_tex_idx[:, i]] for i in range(3)]
+
+    uve1 = tex[1] - tex[0]
+    uve2 = tex[2] - tex[0]
+    pe1 = pos[1] - pos[0]
+    pe2 = pos[2] - pos[0]
+
+    nom = pe1 * uve2[..., 1:2] - pe2 * uve1[..., 1:2]
+    denom = uve1[..., 0:1] * uve2[..., 1:2] - uve1[..., 1:2] * uve2[..., 0:1]
+    denom_safe = jnp.where(
+        denom > 0.0, jnp.maximum(denom, 1e-6), jnp.minimum(denom, -1e-6)
+    )
+    tang = nom / denom_safe  # (T, 3)
+
+    n = v_pos.shape[0]
+    idx = jnp.concatenate([t_pos_idx[:, 0], t_pos_idx[:, 1], t_pos_idx[:, 2]])
+    vals = jnp.concatenate([tang] * 3)
+    tangents = jax.ops.segment_sum(vals, idx, num_segments=n)
+    tansum = jax.ops.segment_sum(jnp.ones_like(vals), idx, num_segments=n)
+    tangents = tangents / jnp.maximum(tansum, 1.0)
+
+    tangents = normalize(tangents)
+    tangents = normalize(tangents - dot(tangents, v_nrm) * v_nrm)
+    return tangents
+
+
+def with_normals(mesh: TexturedMesh, compute_tangents: bool = False) -> TexturedMesh:
+    """Return a mesh with v_nrm (and optionally v_tang) filled in.
+
+    Normals are computed on the stitched topology then applied to the primary
+    vertices; when the topologies coincide (same vertex count) the result maps
+    1:1 (reference mesh.py:85-93 semantics).
+    """
+    if mesh.stitched_v_pos is None or mesh.stitched_t_pos_idx is None:
+        mesh = mesh._replace(
+            stitched_v_pos=mesh.v_pos, stitched_t_pos_idx=mesh.t_pos_idx
+        )
+    if mesh.v_nrm is None:
+        v_nrm = compute_vertex_normals(mesh.stitched_v_pos, mesh.stitched_t_pos_idx)
+        mesh = mesh._replace(v_nrm=v_nrm)
+    if compute_tangents and mesh.v_tang is None:
+        # Tangents index primary vertices in the reference (mesh.py:126-128);
+        # requires stitched == primary topology for normals to line up.
+        v_tang = compute_vertex_tangents(
+            mesh.v_pos, mesh.t_pos_idx, mesh.v_tex, mesh.t_tex_idx,
+            mesh.v_nrm if mesh.v_nrm.shape[0] == mesh.v_pos.shape[0] else
+            compute_vertex_normals(mesh.v_pos, mesh.t_pos_idx),
+        )
+        mesh = mesh._replace(v_tang=v_tang)
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# Host-side loading (numpy / trimesh; outside the jitted path, like the
+# reference's CPU mesh IO).
+# ---------------------------------------------------------------------------
+
+_DIR2VEC = {
+    "+x": np.array([1, 0, 0]),
+    "+y": np.array([0, 1, 0]),
+    "+z": np.array([0, 0, 1]),
+    "-x": np.array([-1, 0, 0]),
+    "-y": np.array([0, -1, 0]),
+    "-z": np.array([0, 0, -1]),
+}
+
+
+def load_mesh(
+    mesh_path: str,
+    rescale: bool = False,
+    move_to_center: bool = False,
+    scale: float = 0.5,
+    flip_uv: bool = True,
+    merge_vertices: bool = True,
+    default_uv_size: Optional[int] = None,
+    shape_init_mesh_up: str = "+y",
+    shape_init_mesh_front: str = "+x",
+    front_x_to_y: bool = False,
+    return_transform: bool = False,
+):
+    """Load a mesh from GLB/OBJ/NPZ into a TexturedMesh pytree.
+
+    Mirrors reference mesh.py:198-345: scene concatenation, recenter/rescale,
+    up/front axis change-of-basis, UV V-flip, baseColor texture extraction,
+    vertex merge for stitched normal topology.
+    """
+    vertex_normals = None
+    visual_uv = None
+    tex_img = None
+    tm = None
+    if mesh_path.endswith(".npz"):
+        data = np.load(mesh_path)
+        vertices = np.asarray(data["vertices"], np.float64)
+        faces = np.asarray(data["faces"], np.int64)
+        merge_vertices = False
+    else:
+        import trimesh
+
+        scene = trimesh.load(mesh_path, force="mesh", process=False)
+        if isinstance(scene, trimesh.Trimesh):
+            tm = scene
+        elif isinstance(scene, trimesh.Scene):
+            tm = trimesh.Trimesh()
+            for obj in scene.geometry.values():
+                tm = trimesh.util.concatenate([tm, obj])
+        else:
+            raise ValueError(f"Unknown mesh type at {mesh_path}")
+        vertices = np.asarray(tm.vertices, np.float64)
+        faces = np.asarray(tm.faces, np.int64)
+        if getattr(tm, "vertex_normals", None) is not None:
+            vertex_normals = np.asarray(tm.vertex_normals, np.float64).copy()
+        visual = getattr(tm, "visual", None)
+        if visual is not None and getattr(visual, "uv", None) is not None:
+            visual_uv = np.asarray(visual.uv, np.float64).copy()
+            material = getattr(visual, "material", None)
+            base_tex = getattr(material, "baseColorTexture", None)
+            if base_tex is not None and default_uv_size is None:
+                tex_img = np.asarray(base_tex, np.float32)[..., :3] / 255.0
+
+    transform_offset = None
+    if move_to_center:
+        transform_offset = vertices.mean(0)
+        vertices = vertices - transform_offset
+
+    transform_scale = None
+    if rescale:
+        max_scale = np.abs(vertices).max()
+        vertices = vertices / max_scale * scale
+        transform_scale = max_scale / scale
+
+    if shape_init_mesh_up not in _DIR2VEC or shape_init_mesh_front not in _DIR2VEC:
+        raise ValueError(f"up/front must be one of {list(_DIR2VEC)}")
+    if shape_init_mesh_up[1] == shape_init_mesh_front[1]:
+        raise ValueError("up and front axes must be orthogonal")
+    z_ = _DIR2VEC[shape_init_mesh_up]
+    x_ = _DIR2VEC[shape_init_mesh_front]
+    y_ = np.cross(z_, x_)
+    std2mesh = np.stack([x_, y_, z_], axis=0).T
+    mesh2std = np.linalg.inv(std2mesh)
+    vertices = (mesh2std @ vertices.T).T
+    if vertex_normals is not None:
+        vertex_normals = (mesh2std @ vertex_normals.T).T
+    if front_x_to_y:
+        x = vertices[:, 1].copy()
+        y = -vertices[:, 0].copy()
+        vertices[:, 0], vertices[:, 1] = x, y
+        if vertex_normals is not None:
+            vx = vertex_normals[:, 1].copy()
+            vy = -vertex_normals[:, 0].copy()
+            vertex_normals[:, 0], vertex_normals[:, 1] = vx, vy
+
+    v_pos = jnp.asarray(vertices, jnp.float32)
+    t_pos_idx = jnp.asarray(faces, jnp.int32)
+
+    v_tex = t_tex_idx = texture_arr = None
+    if visual_uv is not None:
+        uv = visual_uv.astype(np.float32)
+        if flip_uv:
+            uv[:, 1] = 1.0 - uv[:, 1]
+        v_tex = jnp.asarray(uv)
+        t_tex_idx = t_pos_idx
+        if tex_img is not None:
+            texture_arr = jnp.asarray(tex_img)
+        else:
+            assert default_uv_size is not None, "need default_uv_size without texture"
+            texture_arr = jnp.zeros((default_uv_size, default_uv_size, 3), jnp.float32)
+
+    mesh = TexturedMesh(
+        v_pos=v_pos,
+        t_pos_idx=t_pos_idx,
+        v_tex=v_tex,
+        t_tex_idx=t_tex_idx,
+        texture=texture_arr,
+    )
+
+    if vertex_normals is not None:
+        mesh = mesh._replace(
+            v_nrm=jnp.asarray(
+                vertex_normals / np.maximum(
+                    np.linalg.norm(vertex_normals, axis=-1, keepdims=True), 1e-12
+                ),
+                jnp.float32,
+            ),
+            stitched_v_pos=v_pos,
+            stitched_t_pos_idx=t_pos_idx,
+        )
+    elif merge_vertices and tm is not None:
+        tm.merge_vertices(merge_tex=True)
+        mesh = mesh._replace(
+            stitched_v_pos=jnp.asarray(np.asarray(tm.vertices), jnp.float32),
+            stitched_t_pos_idx=jnp.asarray(np.asarray(tm.faces), jnp.int32),
+        )
+    else:
+        mesh = mesh._replace(stitched_v_pos=v_pos, stitched_t_pos_idx=t_pos_idx)
+
+    if return_transform:
+        return mesh, transform_offset, transform_scale
+    return mesh
+
+
+# ---------------------------------------------------------------------------
+# Procedural meshes (test fixtures / benchmarks; analog of the reference's
+# bundled town.blend integration fixture).
+# ---------------------------------------------------------------------------
+
+
+def icosphere(subdivisions: int = 2, radius: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Unit icosphere (numpy, host-side). Returns (vertices, faces)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    verts = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    faces = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+
+    for _ in range(subdivisions):
+        edge_mid = {}
+        new_faces = []
+        verts_list = list(verts)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edge_mid:
+                m = verts_list[a] + verts_list[b]
+                m = m / np.linalg.norm(m)
+                verts_list.append(m)
+                edge_mid[key] = len(verts_list) - 1
+            return edge_mid[key]
+
+        for f in faces:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        verts = np.array(verts_list)
+        faces = np.array(new_faces, dtype=np.int64)
+
+    return verts * radius, faces
+
+
+def make_grid_mesh(
+    n: int, extent: float = 1.0, height_fn=None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(n x n)-vertex heightfield grid mesh in the XY plane (numpy).
+    height_fn(x, y) -> z, default 0."""
+    xs = np.linspace(-extent, extent, n)
+    ys = np.linspace(-extent, extent, n)
+    xx, yy = np.meshgrid(xs, ys, indexing="xy")
+    zz = np.zeros_like(xx) if height_fn is None else height_fn(xx, yy)
+    verts = np.stack([xx, yy, zz], axis=-1).reshape(-1, 3)
+    idx = np.arange(n * n).reshape(n, n)
+    f0 = np.stack([idx[:-1, :-1], idx[:-1, 1:], idx[1:, :-1]], axis=-1)
+    f1 = np.stack([idx[:-1, 1:], idx[1:, 1:], idx[1:, :-1]], axis=-1)
+    faces = np.concatenate([f0.reshape(-1, 3), f1.reshape(-1, 3)], axis=0)
+    return verts, faces.astype(np.int64)
+
+
+def uv_sphere_mesh(
+    n_lat: int, n_lon: int, radius: float = 1.0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """UV-parameterized sphere: returns (vertices, faces, uv). Handy for
+    texture-sampling tests since every vertex has a unique UV."""
+    lats = np.linspace(0, np.pi, n_lat)
+    lons = np.linspace(0, 2 * np.pi, n_lon)
+    ll, tt = np.meshgrid(lons, lats, indexing="xy")
+    x = radius * np.sin(tt) * np.cos(ll)
+    y = radius * np.sin(tt) * np.sin(ll)
+    z = radius * np.cos(tt)
+    verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
+    uv = np.stack([ll / (2 * np.pi), tt / np.pi], axis=-1).reshape(-1, 2)
+    idx = np.arange(n_lat * n_lon).reshape(n_lat, n_lon)
+    f0 = np.stack([idx[:-1, :-1], idx[:-1, 1:], idx[1:, :-1]], axis=-1)
+    f1 = np.stack([idx[:-1, 1:], idx[1:, 1:], idx[1:, :-1]], axis=-1)
+    faces = np.concatenate([f0.reshape(-1, 3), f1.reshape(-1, 3)], axis=0)
+    return verts, faces.astype(np.int64), uv
