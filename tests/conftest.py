@@ -1,15 +1,24 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
-sharding logic is exercised without TPU hardware (SURVEY.md §4c)."""
+sharding logic is exercised without TPU hardware (SURVEY.md §4c).
+
+Note: the environment may auto-register an external TPU PJRT plugin through
+sitecustomize and force ``jax_platforms`` — the explicit config update below
+wins it back for deterministic CPU golden tests.
+"""
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Must be set before the CPU backend initializes.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

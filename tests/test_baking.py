@@ -1,0 +1,164 @@
+"""UV baking layer: precompute properties + end-to-end projection roundtrip.
+
+Strategy (SURVEY.md §4): render views of a mesh with a known texture, project
+those views back into UV space, and check the baked texture reproduces the
+original where the views saw the surface.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from worldrenderer_tpu import get_camera
+from worldrenderer_tpu.baking import (
+    SimpleUVValidityStrategy,
+    camera_projection,
+    uv_precompute,
+    uv_render_attr,
+    uv_render_geometry,
+    uv_blend,
+)
+from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+from worldrenderer_tpu.render import render
+
+UV_SIZE = 128
+VIEW_RES = 128
+N_VIEWS = 6
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    verts, faces, uv = uv_sphere_mesh(33, 65)
+    # Checkerboard texture so projection errors are visible.
+    yy, xx = np.meshgrid(np.arange(UV_SIZE), np.arange(UV_SIZE), indexing="ij")
+    checker = (((yy // 16) + (xx // 16)) % 2).astype(np.float32)
+    tex = np.stack([checker, 1.0 - checker, np.full_like(checker, 0.5)], axis=-1)
+    return TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+
+
+@pytest.fixture(scope="module")
+def cameras():
+    return get_camera(
+        elevation_deg=15.0,
+        distance=3.0,
+        fovy_deg=45.0,
+        num_views=N_VIEWS,
+        near=0.1,
+        far=10.0,
+    )
+
+
+@pytest.fixture(scope="module")
+def pre(sphere_mesh):
+    return uv_precompute(sphere_mesh, height=UV_SIZE, width=UV_SIZE)
+
+
+def test_uv_precompute_coverage(pre):
+    mask = np.asarray(pre.uv_mask)
+    # The UV sphere parameterization covers nearly the full UV square.
+    assert mask.mean() > 0.9
+    pos = np.asarray(pre.uv_pos)
+    r = np.linalg.norm(pos[mask], axis=-1)
+    # Covered texels lie on the unit sphere (within triangle flatness error).
+    assert np.percentile(np.abs(r - 1.0), 95) < 0.02
+
+
+def test_uv_render_geometry_consistency(sphere_mesh, cameras, pre):
+    geo = uv_render_geometry(
+        sphere_mesh,
+        cameras,
+        view_height=VIEW_RES,
+        view_width=VIEW_RES,
+        uv_precompute_output=pre,
+        compute_depth_grad=True,
+        depth_grad_dilation=3,
+    )
+    # Visible-from-front texels should have tiny reprojection error
+    # (uv.py:162 semantics). Check against validity strategy output.
+    valid = SimpleUVValidityStrategy(pos_error_eps=2e-2, aoi_cos_thresh=0.3)(
+        pre, geo, None
+    )
+    valid = np.asarray(valid)
+    assert valid.shape == (N_VIEWS, UV_SIZE, UV_SIZE)
+    # Each view sees a meaningful chunk of the sphere's UV area...
+    assert valid.any(axis=(1, 2)).all()
+    # ...and together the views cover most of the chart (polar texels with
+    # grazing aoi are legitimately excluded by the 0.3 cos threshold).
+    coverage = valid.any(axis=0).mean() / np.asarray(pre.uv_mask).mean()
+    assert coverage > 0.65
+    # aoi cos within [0, 1]
+    aoi = np.asarray(geo.uv_aoi_cos)
+    assert aoi.min() >= 0.0 and aoi.max() <= 1.0 + 1e-6
+
+
+def test_projection_roundtrip(sphere_mesh, cameras):
+    """Render views with the known texture, bake them back, compare."""
+    views = render(
+        sphere_mesh,
+        cameras,
+        VIEW_RES,
+        VIEW_RES,
+        render_attr=True,
+        render_depth=False,
+        render_normal=False,
+        attr_background=0.0,
+    )
+    out = camera_projection(
+        images=views.attr,
+        masks=views.mask.astype(jnp.float32),
+        mesh=sphere_mesh,
+        cam=cameras,
+        uv_size=UV_SIZE,
+        poisson_blending=False,
+        iou_rejection_threshold=0.99,  # rendered masks match exactly
+        aoi_cos_valid_threshold=0.4,
+        depth_grad_threshold=None,
+        uv_padding=True,
+    )
+    assert out is not None
+    baked = np.asarray(out.uv_proj)
+    orig = np.asarray(sphere_mesh.texture)
+    m = np.asarray(out.uv_proj_mask)
+    assert m.mean() > 0.3
+    err = np.abs(baked - orig)[m]
+    # Median error small; mean bounded (checker edges blur under resampling).
+    assert np.median(err) < 0.06
+    assert err.mean() < 0.15
+
+
+def test_iou_rejection(sphere_mesh, cameras):
+    views = render(
+        sphere_mesh, cameras, VIEW_RES, VIEW_RES,
+        render_attr=True, render_depth=False, render_normal=False,
+    )
+    bad_masks = jnp.zeros((N_VIEWS, VIEW_RES, VIEW_RES), jnp.float32)
+    bad_masks = bad_masks.at[:, :8, :8].set(1.0)
+    out = camera_projection(
+        images=views.attr,
+        masks=bad_masks,
+        mesh=sphere_mesh,
+        cam=cameras,
+        uv_size=UV_SIZE,
+        poisson_blending=False,
+        iou_rejection_threshold=0.8,
+    )
+    assert out is None
+
+
+def test_uv_blend_without_attr(sphere_mesh, cameras, pre):
+    geo = uv_render_geometry(
+        sphere_mesh, cameras, VIEW_RES, VIEW_RES, uv_precompute_output=pre
+    )
+    out = uv_blend(pre, geo, None)
+    assert out.uv_attr_blend is None
+    w = np.asarray(out.uv_blend_weight)
+    # Linear normalization: weights sum to ~1 where any view valid, 0 elsewhere.
+    s = w.sum(axis=0)
+    anyv = np.asarray(out.uv_valid_mask_blend)
+    np.testing.assert_allclose(s[anyv], 1.0, atol=1e-3)

@@ -4,6 +4,7 @@ the Tengpaz/WorldRenderer reference (see SURVEY.md)."""
 
 __version__ = "0.1.0"
 
+from . import baking, ops, parallel, scene
 from .camera import (
     Camera,
     get_c2w,

@@ -1,0 +1,210 @@
+"""CameraProjection — the full inverse-render orchestrator:
+multi-view images (+ optional masks) -> baked UV texture.
+
+Reference contract: mvadapter/utils/mesh_utils/projection.py:33-204
+(uv_precompute -> uv_render_geometry -> IoU rejection -> [warp] ->
+uv_render_attr -> uv_blend). The per-call CUDA context object disappears;
+everything below the IoU host decision is traced into one XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..camera import Camera, get_camera
+from ..mesh import TexturedMesh
+from ..ops.rasterize import DEFAULT_CONFIG, RasterizerConfig
+from ..render import render
+from .uv import (
+    ExponentialBlend,
+    SimpleUVValidityStrategy,
+    uv_blend,
+    uv_precompute,
+    uv_render_attr,
+    uv_render_geometry,
+)
+
+__all__ = ["CameraProjection", "CameraProjectionOutput", "camera_projection"]
+
+
+class CameraProjectionOutput(NamedTuple):
+    uv_proj: Optional[jnp.ndarray]
+    uv_proj_mask: Optional[jnp.ndarray]
+    uv_depth_grad: Optional[jnp.ndarray]
+    uv_aoi_cos: Optional[jnp.ndarray]
+
+
+def camera_projection(
+    images: jnp.ndarray,
+    mesh: TexturedMesh,
+    cam: Optional[Camera] = None,
+    fovy_deg=None,
+    masks: Optional[jnp.ndarray] = None,
+    bg_remover=None,
+    remove_bg: bool = False,
+    c2w: Optional[jnp.ndarray] = None,
+    elevation_deg=None,
+    distance=None,
+    azimuth_deg=None,
+    num_views: Optional[int] = None,
+    uv_size: int = 2048,
+    warp_images: bool = False,
+    images_background: Optional[float] = None,
+    iou_rejection_threshold: Optional[float] = 0.8,
+    aoi_cos_valid_threshold: float = 0.3,
+    depth_grad_dilation: int = 5,
+    depth_grad_threshold: float = 0.1,
+    uv_exp_blend_alpha: float = 6,
+    uv_exp_blend_view_weight: Optional[jnp.ndarray] = None,
+    poisson_blending: bool = True,
+    pb_num_iters: int = 1000,
+    pb_keep_original_border: bool = True,
+    from_scratch: bool = False,
+    uv_padding: bool = True,
+    raster_config: RasterizerConfig = DEFAULT_CONFIG,
+    verbose: bool = False,
+) -> Optional[CameraProjectionOutput]:
+    """Project multi-view images onto the mesh's UV texture.
+
+    Returns None when the given masks disagree with the rendered silhouettes
+    by more than ``iou_rejection_threshold`` (projection.py:126-138) — a host
+    decision on two reduced scalars, so it costs one tiny device->host sync.
+    """
+    images = jnp.asarray(images, jnp.float32)
+    assert images.ndim == 4, "images must be (Nv, H, W, C)"
+    n_views, height, width, _ = images.shape
+
+    masks_pt = None
+    if masks is not None:
+        masks_pt = jnp.asarray(masks, jnp.float32)
+    elif remove_bg:
+        assert bg_remover is not None, "remove_bg requires a bg_remover"
+        masks_pt = bg_remover(images)
+    if masks_pt is not None and masks_pt.ndim == 4:
+        masks_pt = masks_pt.mean(-1)
+
+    if cam is None:
+        cam = get_camera(
+            elevation_deg=elevation_deg,
+            distance=distance,
+            fovy_deg=fovy_deg,
+            azimuth_deg=azimuth_deg,
+            num_views=num_views,
+            c2w=c2w,
+            aspect_wh=width / height,
+        )
+
+    pre = uv_precompute(mesh, height=uv_size, width=uv_size, raster_config=raster_config)
+    geo = uv_render_geometry(
+        mesh,
+        cam,
+        view_height=height,
+        view_width=width,
+        uv_precompute_output=pre,
+        compute_depth_grad=True,
+        depth_grad_dilation=depth_grad_dilation,
+        raster_config=raster_config,
+    )
+
+    if masks_pt is not None and iou_rejection_threshold is not None:
+        given = (masks_pt > 0.5).astype(jnp.float32)
+        rendered = geo.view_mask.astype(jnp.float32)
+        inter = given * rendered
+        union = given + rendered - inter
+        iou = inter.sum((1, 2)) / union.sum((1, 2))
+        iou_min = float(iou.min())
+        if verbose:
+            print(f"Per-view IoU: {np.asarray(iou).tolist()}")
+        if iou_min < iou_rejection_threshold:
+            if verbose:
+                print(
+                    f"Minimum view IoU {iou_min} below threshold "
+                    f"{iou_rejection_threshold}, skipping camera projection"
+                )
+            return None
+
+    if warp_images:
+        assert images_background is not None
+        render_attr = render(
+            mesh,
+            cam,
+            height=height,
+            width=width,
+            render_attr=True,
+            render_depth=False,
+            render_normal=False,
+            attr_background=images_background,
+            raster_config=raster_config,
+        ).attr
+        from .warp import compute_warp_field
+
+        images = compute_warp_field(
+            images,
+            render_attr,
+            n_grid=10,
+            optim_res=(64, 128),
+            optim_step_per_res=20,
+            lambda_reg=2.0,
+        )
+
+    attr = uv_render_attr(images=images, masks=masks_pt, uv_render_geometry_output=geo)
+    blend = uv_blend(
+        pre,
+        geo,
+        attr,
+        uv_validity_strategy=SimpleUVValidityStrategy(
+            aoi_cos_thresh=aoi_cos_valid_threshold,
+            depth_grad_thresh=depth_grad_threshold,
+        ),
+        uv_blend_weight_strategy=ExponentialBlend(
+            alpha=uv_exp_blend_alpha, view_weight=uv_exp_blend_view_weight
+        ),
+        empty_value=1.0,
+        do_uv_padding=uv_padding,
+        pad_unseen_area=from_scratch,
+        poisson_blending=poisson_blending,
+        pb_num_iters=pb_num_iters,
+        pb_keep_original_border=pb_keep_original_border,
+    )
+
+    return CameraProjectionOutput(
+        uv_proj=blend.uv_attr_blend,
+        uv_proj_mask=blend.uv_valid_mask_blend,
+        uv_depth_grad=geo.uv_depth_grad,
+        uv_aoi_cos=geo.uv_aoi_cos,
+    )
+
+
+class CameraProjection:
+    """API-parity class wrapper (reference projection.py:41-56). The
+    reference constructs a Poisson solver + raster context per instance; on
+    TPU both are stateless compiled functions, so this only carries defaults."""
+
+    def __init__(
+        self,
+        pb_backend: str = "xla",
+        bg_remover=None,
+        device: str = "tpu",
+        context_type: str = "xla",
+        raster_config: RasterizerConfig = DEFAULT_CONFIG,
+    ) -> None:
+        del pb_backend, device, context_type
+        self.bg_remover = bg_remover
+        self.raster_config = raster_config
+
+    def __call__(self, images, mesh, **kwargs):
+        return_dict = kwargs.pop("return_dict", False)
+        return_mask = kwargs.pop("return_uv_projection_mask", False)
+        kwargs.setdefault("raster_config", self.raster_config)
+        kwargs.setdefault("bg_remover", self.bg_remover)
+        out = camera_projection(images, mesh, **kwargs)
+        if out is None:
+            return None
+        if return_dict:
+            return out
+        if return_mask:
+            return out.uv_proj, out.uv_proj_mask
+        return out.uv_proj

@@ -1,0 +1,390 @@
+"""UV-space rasterization + view->UV projection + multi-view blending.
+
+Reference contracts: mvadapter/utils/mesh_utils/uv.py (uv_precompute:24-53,
+uv_render_geometry:72-184, uv_render_attr:193-222, validity/weight
+strategies:233-370, uv_blend:385-468). Strategy classes become NamedTuple
+closures (hashable, jit-friendly); in-place torch mutations become
+``jnp.where``; grid_sample becomes the pure-jnp gather in ops/grid_sample.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..camera import Camera, normalize
+from ..mesh import TexturedMesh, with_normals
+from ..ops import grid_sample, interpolate, rasterize
+from ..ops.image import inpaint, max_pool2d, sobel_grad_magnitude
+from ..ops.poisson import poisson_blend
+from ..ops.rasterize import DEFAULT_CONFIG, RasterizerConfig
+from ..render import SimpleNormalization, render
+from ..transforms import get_clip_space_position
+
+__all__ = [
+    "UVPrecomputeOutput",
+    "UVRenderGeometryOutput",
+    "UVRenderAttrOutput",
+    "UVBlendOutput",
+    "SimpleUVValidityStrategy",
+    "ExponentialBlend",
+    "RandomChoiceBlend",
+    "uv_precompute",
+    "uv_render_geometry",
+    "uv_render_attr",
+    "uv_blend",
+    "uv_padding",
+]
+
+
+class UVPrecomputeOutput(NamedTuple):
+    height: int
+    width: int
+    uv_attr: Optional[jnp.ndarray]  # (Huv, Wuv, C) current texture
+    uv_mask: jnp.ndarray  # (Huv, Wuv) bool — inside a UV chart
+    uv_pos: jnp.ndarray  # (Huv, Wuv, 3) world position per texel
+
+
+def uv_precompute(
+    mesh: TexturedMesh,
+    height: int,
+    width: int,
+    raster_config: RasterizerConfig = DEFAULT_CONFIG,
+) -> UVPrecomputeOutput:
+    """Rasterize the mesh in UV space: UV coords as clip positions
+    (reference uv.py:24-53) -> per-texel world position + chart mask."""
+    uv_clip = mesh.v_tex * 2.0 - 1.0
+    uv_clip4 = jnp.concatenate(
+        [
+            uv_clip,
+            jnp.zeros_like(uv_clip[..., :1]),
+            jnp.ones_like(uv_clip[..., :1]),
+        ],
+        axis=-1,
+    )
+    rast = rasterize(uv_clip4[None], mesh.t_tex_idx, (height, width), raster_config)
+    uv_mask = rast[0, :, :, 3] > 0
+    uv_pos = interpolate(mesh.v_pos[None], rast, mesh.t_pos_idx)[0]
+    return UVPrecomputeOutput(
+        height=height,
+        width=width,
+        uv_attr=mesh.texture,
+        uv_mask=uv_mask,
+        uv_pos=uv_pos,
+    )
+
+
+class UVRenderGeometryOutput(NamedTuple):
+    uv_pos_proj: jnp.ndarray  # (Nv, Huv, Wuv, 3) view positions sampled at texels
+    uv_pos_error: jnp.ndarray  # (Nv, Huv, Wuv) reprojection error (occlusion test)
+    uv_aoi_cos: jnp.ndarray  # (Nv, Huv, Wuv) angle-of-incidence cosine
+    uv_pos_ndc: jnp.ndarray  # (Nv, Huv, Wuv, 2) NDC of each texel in each view
+    view_mask: jnp.ndarray  # (Nv, H, W)
+    view_normal: jnp.ndarray  # (Nv, H, W, 3)
+    view_aoi_cos: jnp.ndarray  # (Nv, H, W)
+    view_position: jnp.ndarray  # (Nv, H, W, 3)
+    view_depth: jnp.ndarray  # (Nv, H, W)
+    view_depth_grad: Optional[jnp.ndarray] = None
+    uv_depth_grad: Optional[jnp.ndarray] = None
+    view_attr: Optional[jnp.ndarray] = None
+
+
+def uv_render_geometry(
+    mesh: TexturedMesh,
+    cam: Camera,
+    view_height: int,
+    view_width: int,
+    uv_precompute_output: UVPrecomputeOutput,
+    grid_sample_mode: str = "bilinear",
+    compute_depth_grad: bool = False,
+    depth_grad_dilation: int = 1,
+    render_attr: bool = False,
+    raster_config: RasterizerConfig = DEFAULT_CONFIG,
+) -> UVRenderGeometryOutput:
+    """Per-view geometric correspondence for every texel (reference
+    uv.py:72-184): project texel world-pos into each view, render view
+    G-buffers, compute aoi-cos, occlusion-boundary depth gradient, and sample
+    the view maps back to UV space."""
+    pre = uv_precompute_output
+    batch_size = len(cam)
+    height, width, _ = pre.uv_pos.shape
+
+    uv_pos_clip = get_clip_space_position(
+        pre.uv_pos.reshape(-1, 3), cam.mvp_mtx
+    ).reshape(batch_size, height, width, 4)
+    uv_pos_ndc = uv_pos_clip[..., :2] / uv_pos_clip[..., 3:4]
+
+    mesh = with_normals(mesh)
+    out = render(
+        mesh,
+        cam,
+        view_height,
+        view_width,
+        render_attr=render_attr,
+        render_depth=True,
+        render_normal=True,
+        depth_normalization_strategy=SimpleNormalization(
+            scale=1.0, offset=0.0, clamp=False, bg_value=1e2
+        ),
+        raster_config=raster_config,
+    )
+    view_position = out.pos
+    view_mask = out.mask
+    view_normal = out.normal
+
+    # Rotate normals into camera space; the torch row-broadcast at
+    # uv.py:107-110 is normal @ R^T with R = w2c[:3, :3].
+    view_normal_cs = jnp.einsum("bhwj,bij->bhwi", view_normal, cam.w2c[:, :3, :3])
+    view_normal_cs = normalize(view_normal_cs)
+    view_normal_cs = jnp.where(view_mask[..., None], view_normal_cs, view_normal)
+    view_aoi_cos = jnp.clip(view_normal_cs[..., 2], 0.0, 1.0)
+
+    view_depth = out.depth
+    view_depth_grad = None
+    uv_depth_grad = None
+    if compute_depth_grad:
+        view_depth_grad = sobel_grad_magnitude(view_depth)
+        view_depth_grad = max_pool2d(view_depth_grad, depth_grad_dilation)
+        uv_depth_grad = grid_sample(
+            view_depth_grad[..., None], uv_pos_ndc, mode=grid_sample_mode
+        )[..., 0]
+
+    uv_pos_proj = grid_sample(view_position, uv_pos_ndc, mode=grid_sample_mode)
+    uv_pos_error = jnp.sqrt(
+        jnp.sum((uv_pos_proj - pre.uv_pos[None]) ** 2, axis=-1)
+    )
+    uv_aoi_cos = grid_sample(
+        view_aoi_cos[..., None], uv_pos_ndc, mode=grid_sample_mode
+    )[..., 0]
+
+    return UVRenderGeometryOutput(
+        uv_pos_proj=uv_pos_proj,
+        uv_pos_error=uv_pos_error,
+        uv_aoi_cos=uv_aoi_cos,
+        uv_pos_ndc=uv_pos_ndc,
+        view_mask=view_mask,
+        view_position=view_position,
+        view_normal=view_normal,
+        view_aoi_cos=view_aoi_cos,
+        view_depth=view_depth,
+        view_depth_grad=view_depth_grad,
+        uv_depth_grad=uv_depth_grad,
+        view_attr=out.attr if render_attr else None,
+    )
+
+
+class UVRenderAttrOutput(NamedTuple):
+    uv_attr_proj: jnp.ndarray  # (Nv, Huv, Wuv, C)
+    uv_mask_proj: Optional[jnp.ndarray]  # (Nv, Huv, Wuv)
+
+
+def uv_render_attr(
+    images: jnp.ndarray,
+    uv_render_geometry_output: UVRenderGeometryOutput,
+    masks: Optional[jnp.ndarray] = None,
+    grid_sample_mode: str = "bilinear",
+) -> UVRenderAttrOutput:
+    """grid_sample view images (and optional masks) into UV space
+    (reference uv.py:193-222)."""
+    ndc = uv_render_geometry_output.uv_pos_ndc
+    images = jnp.asarray(images, jnp.float32)
+    uv_attr_proj = grid_sample(images, ndc, mode=grid_sample_mode)
+    uv_mask_proj = None
+    if masks is not None:
+        masks = jnp.asarray(masks, jnp.float32)
+        if masks.ndim == 4:
+            masks = masks.mean(-1)
+        uv_mask_proj = grid_sample(masks[..., None], ndc, mode=grid_sample_mode)[
+            ..., 0
+        ]
+    return UVRenderAttrOutput(uv_attr_proj=uv_attr_proj, uv_mask_proj=uv_mask_proj)
+
+
+# ---------------------------------------------------------------------------
+# Validity / blend-weight strategies (reference uv.py:233-370), as NamedTuple
+# closures so they stay hashable and jit-stable.
+# ---------------------------------------------------------------------------
+
+
+class SimpleUVValidityStrategy(NamedTuple):
+    """Per-texel per-view validity (reference uv.py:248-298): reprojection
+    error < eps AND aoi-cos > thresh AND (optional) depth-grad < thresh AND
+    inside chart AND (optional) view-mask > thresh."""
+
+    pos_error_eps: float = 1e-3
+    aoi_cos_thresh: float = 0.1
+    mask_thresh: float = 0.9
+    depth_grad_thresh: Optional[float] = None
+    first_view_dominate: bool = False
+
+    def __call__(
+        self,
+        uv_precompute_output: UVPrecomputeOutput,
+        uv_render_geometry_output: UVRenderGeometryOutput,
+        uv_render_attr_output: Optional[UVRenderAttrOutput],
+    ) -> jnp.ndarray:
+        geo = uv_render_geometry_output
+        valid = (geo.uv_pos_error < self.pos_error_eps) & (
+            geo.uv_aoi_cos > self.aoi_cos_thresh
+        )
+        if self.depth_grad_thresh is not None and geo.uv_depth_grad is not None:
+            valid &= geo.uv_depth_grad < self.depth_grad_thresh
+        valid &= uv_precompute_output.uv_mask[None]
+        if (
+            uv_render_attr_output is not None
+            and uv_render_attr_output.uv_mask_proj is not None
+        ):
+            valid &= uv_render_attr_output.uv_mask_proj > self.mask_thresh
+        if self.first_view_dominate:
+            # Views 1.. lose wherever view 0 is valid (uv.py:292-295).
+            rest = valid[1:] & ~valid[0:1]
+            valid = jnp.concatenate([valid[0:1], rest], axis=0)
+        return valid
+
+
+class ExponentialBlend(NamedTuple):
+    """aoi-cos^alpha blend weights, linear or softmax normalized over views
+    (reference uv.py:317-348)."""
+
+    alpha: float = 1.0
+    normalization: str = "linear"
+    view_weight: Optional[jnp.ndarray] = None  # (Nv,)
+
+    def __call__(
+        self,
+        uv_precompute_output: UVPrecomputeOutput,
+        uv_render_geometry_output: UVRenderGeometryOutput,
+        uv_render_attr_output: Optional[UVRenderAttrOutput],
+        uv_valid_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        weight = uv_render_geometry_output.uv_aoi_cos * uv_valid_mask.astype(
+            jnp.float32
+        )
+        if self.view_weight is not None:
+            weight = weight ** (self.alpha / self.view_weight[:, None, None])
+        else:
+            weight = weight**self.alpha
+        if self.normalization == "linear":
+            return jnp.clip(
+                weight / jnp.maximum(weight.sum(axis=0, keepdims=True), 1e-5),
+                0.0,
+                1.0,
+            )
+        if self.normalization == "softmax":
+            weight = jnp.where(uv_valid_mask, weight, -1e5)
+            return jax.nn.softmax(weight, axis=0)
+        raise ValueError(f"unknown normalization {self.normalization!r}")
+
+
+class RandomChoiceBlend(NamedTuple):
+    """One-hot weights choosing a random valid view per texel
+    (reference uv.py:351-370). Needs an explicit PRNG key (functional JAX
+    randomness instead of torch.rand_like)."""
+
+    key: jax.Array
+    alpha: float = 1.0  # accepted for parity; unused (as in the reference)
+
+    def __call__(
+        self,
+        uv_precompute_output: UVPrecomputeOutput,
+        uv_render_geometry_output: UVRenderGeometryOutput,
+        uv_render_attr_output: Optional[UVRenderAttrOutput],
+        uv_valid_mask: jnp.ndarray,
+    ) -> jnp.ndarray:
+        weight = uv_render_geometry_output.uv_aoi_cos * uv_valid_mask.astype(
+            jnp.float32
+        )
+        rand = jax.random.uniform(self.key, weight.shape)
+        weight = jnp.where(weight > 0, rand, weight)
+        choice = jnp.argmax(weight, axis=0)  # (Huv, Wuv)
+        return jax.nn.one_hot(choice, weight.shape[0], axis=0)
+
+
+def uv_padding(
+    attr: jnp.ndarray, inside_mask: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """Pad UV gutters by inpainting outside ``inside_mask``
+    (reference uv.py:373-382 via cvcuda.inpaint)."""
+    return inpaint(jnp.clip(attr, 0.0, 1.0), ~inside_mask, radius)
+
+
+class UVBlendOutput(NamedTuple):
+    uv_attr_blend: Optional[jnp.ndarray]
+    uv_valid_mask: jnp.ndarray
+    uv_valid_mask_blend: jnp.ndarray
+    uv_blend_weight: jnp.ndarray
+
+
+def uv_blend(
+    uv_precompute_output: UVPrecomputeOutput,
+    uv_render_geometry_output: UVRenderGeometryOutput,
+    uv_render_attr_output: Optional[UVRenderAttrOutput],
+    uv_validity_strategy=SimpleUVValidityStrategy(),
+    uv_blend_weight_strategy=ExponentialBlend(),
+    empty_value: float = 0.0,  # parity arg; unused by the reference too
+    do_uv_padding: bool = True,
+    uv_padding_radius: int = 3,
+    pad_unseen_area: bool = False,
+    poisson_blending: bool = False,
+    pb_num_iters: int = 1000,
+    pb_keep_original_border: bool = True,
+    pb_grad_mode: str = "src",
+) -> UVBlendOutput:
+    """Weighted multi-view blend into one texture, with optional Poisson
+    seam blending and UV gutter padding (reference uv.py:385-468)."""
+    del empty_value
+    pre = uv_precompute_output
+    uv_valid_mask = uv_validity_strategy(
+        pre, uv_render_geometry_output, uv_render_attr_output
+    )
+    uv_blend_weight = uv_blend_weight_strategy(
+        pre, uv_render_geometry_output, uv_render_attr_output, uv_valid_mask
+    )
+    uv_valid_mask_blend = uv_valid_mask.any(axis=0)
+
+    if uv_render_attr_output is None:
+        return UVBlendOutput(
+            uv_attr_blend=None,
+            uv_valid_mask=uv_valid_mask,
+            uv_valid_mask_blend=uv_valid_mask_blend,
+            uv_blend_weight=uv_blend_weight,
+        )
+
+    uv_attr_blend = (
+        uv_render_attr_output.uv_attr_proj * uv_blend_weight[..., None]
+    ).sum(axis=0)
+
+    if poisson_blending:
+        assert do_uv_padding, "poisson blending requires uv padding"
+        blend_f = uv_valid_mask_blend[..., None].astype(jnp.float32)
+        uv_attr_blend_padded = uv_padding(
+            uv_attr_blend, uv_valid_mask_blend, uv_padding_radius
+        )
+        if pb_keep_original_border:
+            pb_tgt = pre.uv_attr
+        else:
+            hard_stitch = uv_attr_blend * blend_f + pre.uv_attr * (1.0 - blend_f)
+            pb_tgt = uv_padding(hard_stitch, pre.uv_mask, uv_padding_radius)
+        uv_attr_blend = poisson_blend(
+            uv_attr_blend_padded,
+            uv_valid_mask_blend,
+            pb_tgt,
+            num_iters=pb_num_iters,
+            grad_mode=pb_grad_mode,
+        )
+    else:
+        blend_f = uv_valid_mask_blend[..., None].astype(jnp.float32)
+        uv_attr_blend = uv_attr_blend * blend_f + pre.uv_attr * (1.0 - blend_f)
+
+    if do_uv_padding:
+        content_mask = uv_valid_mask_blend if pad_unseen_area else pre.uv_mask
+        uv_attr_blend = uv_padding(uv_attr_blend, content_mask, uv_padding_radius)
+
+    return UVBlendOutput(
+        uv_attr_blend=uv_attr_blend,
+        uv_valid_mask=uv_valid_mask,
+        uv_valid_mask_blend=uv_valid_mask_blend,
+        uv_blend_weight=uv_blend_weight,
+    )

@@ -205,6 +205,8 @@ def get_camera(
     if proj_mtx is None:
         proj_mtx = get_projection_matrix(fovy_deg, aspect_wh=aspect_wh, near=near, far=far)
     proj_mtx = _as_f32(proj_mtx)
+    if proj_mtx.shape[0] == 1 and w2c.shape[0] > 1:
+        proj_mtx = jnp.broadcast_to(proj_mtx, (w2c.shape[0], 4, 4))
     mvp_mtx = proj_mtx @ w2c
     return Camera(c2w=c2w, w2c=w2c, proj_mtx=proj_mtx, mvp_mtx=mvp_mtx, cam_pos=cam_pos)
 

@@ -147,6 +147,68 @@ def with_normals(mesh: TexturedMesh, compute_tangents: bool = False) -> Textured
 # reference's CPU mesh IO).
 # ---------------------------------------------------------------------------
 
+def merge_duplicate_vertices(
+    vertices: np.ndarray, faces: np.ndarray, decimals: int = 8
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge positionally identical vertices into a stitched topology used
+    for smooth normals (replaces trimesh.merge_vertices(merge_tex=True) at
+    reference mesh.py:330-338). Pure numpy, host-side."""
+    key = np.round(np.asarray(vertices, np.float64), decimals)
+    _, first_idx, inverse = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    merged_vertices = np.asarray(vertices)[first_idx]
+    merged_faces = inverse[np.asarray(faces)]
+    return merged_vertices, merged_faces
+
+
+def _load_obj(path: str):
+    """Minimal OBJ parser: v / vt / vn / f records, triangulating fans.
+    Returns (vertices f64, faces i64, uv-or-None per-vertex, normals-or-None).
+    Per-corner vt/vn indices are resolved by splitting vertices per unique
+    (v, vt, vn) triple (the same unstitched layout GLB files use)."""
+    positions, texcoords, normals = [], [], []
+    corner_map = {}
+    out_pos, out_uv, out_nrm, faces = [], [], [], []
+
+    def corner(spec: str) -> int:
+        if spec in corner_map:
+            return corner_map[spec]
+        parts = (spec.split("/") + ["", ""])[:3]
+        vi = int(parts[0])
+        vi = vi - 1 if vi > 0 else len(positions) + vi
+        out_pos.append(positions[vi])
+        if parts[1]:
+            ti = int(parts[1])
+            out_uv.append(texcoords[ti - 1 if ti > 0 else len(texcoords) + ti])
+        if parts[2]:
+            ni = int(parts[2])
+            out_nrm.append(normals[ni - 1 if ni > 0 else len(normals) + ni])
+        corner_map[spec] = len(out_pos) - 1
+        return corner_map[spec]
+
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                positions.append([float(x) for x in t[1:4]])
+            elif t[0] == "vt":
+                texcoords.append([float(x) for x in t[1:3]])
+            elif t[0] == "vn":
+                normals.append([float(x) for x in t[1:4]])
+            elif t[0] == "f":
+                ids = [corner(s) for s in t[1:]]
+                for k in range(1, len(ids) - 1):
+                    faces.append([ids[0], ids[k], ids[k + 1]])
+
+    verts = np.asarray(out_pos, np.float64)
+    uv = np.asarray(out_uv, np.float64) if len(out_uv) == len(out_pos) else None
+    nrm = np.asarray(out_nrm, np.float64) if len(out_nrm) == len(out_pos) else None
+    return verts, np.asarray(faces, np.int64), uv, nrm
+
+
 _DIR2VEC = {
     "+x": np.array([1, 0, 0]),
     "+y": np.array([0, 1, 0]),
@@ -179,35 +241,30 @@ def load_mesh(
     vertex_normals = None
     visual_uv = None
     tex_img = None
-    tm = None
+    can_merge = False
     if mesh_path.endswith(".npz"):
         data = np.load(mesh_path)
         vertices = np.asarray(data["vertices"], np.float64)
         faces = np.asarray(data["faces"], np.int64)
+        visual_uv = np.asarray(data["uv"], np.float64) if "uv" in data else None
         merge_vertices = False
-    else:
-        import trimesh
+    elif mesh_path.endswith((".glb", ".gltf")):
+        from .scene.gltf import load_glb
 
-        scene = trimesh.load(mesh_path, force="mesh", process=False)
-        if isinstance(scene, trimesh.Trimesh):
-            tm = scene
-        elif isinstance(scene, trimesh.Scene):
-            tm = trimesh.Trimesh()
-            for obj in scene.geometry.values():
-                tm = trimesh.util.concatenate([tm, obj])
-        else:
-            raise ValueError(f"Unknown mesh type at {mesh_path}")
-        vertices = np.asarray(tm.vertices, np.float64)
-        faces = np.asarray(tm.faces, np.int64)
-        if getattr(tm, "vertex_normals", None) is not None:
-            vertex_normals = np.asarray(tm.vertex_normals, np.float64).copy()
-        visual = getattr(tm, "visual", None)
-        if visual is not None and getattr(visual, "uv", None) is not None:
-            visual_uv = np.asarray(visual.uv, np.float64).copy()
-            material = getattr(visual, "material", None)
-            base_tex = getattr(material, "baseColorTexture", None)
-            if base_tex is not None and default_uv_size is None:
-                tex_img = np.asarray(base_tex, np.float32)[..., :3] / 255.0
+        parsed = load_glb(mesh_path)
+        vertices = parsed["vertices"]
+        faces = parsed["faces"]
+        visual_uv = parsed["uv"]
+        if parsed["normals"] is not None:
+            vertex_normals = np.asarray(parsed["normals"], np.float64)
+        if parsed["texture"] is not None and default_uv_size is None:
+            tex_img = parsed["texture"][..., :3]
+        can_merge = True
+    elif mesh_path.endswith(".obj"):
+        vertices, faces, visual_uv, vertex_normals = _load_obj(mesh_path)
+        can_merge = True
+    else:
+        raise ValueError(f"Unsupported mesh format: {mesh_path}")
 
     transform_offset = None
     if move_to_center:
@@ -276,11 +333,11 @@ def load_mesh(
             stitched_v_pos=v_pos,
             stitched_t_pos_idx=t_pos_idx,
         )
-    elif merge_vertices and tm is not None:
-        tm.merge_vertices(merge_tex=True)
+    elif merge_vertices and can_merge:
+        sv, sf = merge_duplicate_vertices(vertices, faces)
         mesh = mesh._replace(
-            stitched_v_pos=jnp.asarray(np.asarray(tm.vertices), jnp.float32),
-            stitched_t_pos_idx=jnp.asarray(np.asarray(tm.faces), jnp.int32),
+            stitched_v_pos=jnp.asarray(sv, jnp.float32),
+            stitched_t_pos_idx=jnp.asarray(sf, jnp.int32),
         )
     else:
         mesh = mesh._replace(stitched_v_pos=v_pos, stitched_t_pos_idx=t_pos_idx)
@@ -373,7 +430,8 @@ def uv_sphere_mesh(
     verts = np.stack([x, y, z], axis=-1).reshape(-1, 3)
     uv = np.stack([ll / (2 * np.pi), tt / np.pi], axis=-1).reshape(-1, 2)
     idx = np.arange(n_lat * n_lon).reshape(n_lat, n_lon)
-    f0 = np.stack([idx[:-1, :-1], idx[:-1, 1:], idx[1:, :-1]], axis=-1)
-    f1 = np.stack([idx[:-1, 1:], idx[1:, 1:], idx[1:, :-1]], axis=-1)
+    # Wound so cross(v1-v0, v2-v0) points outward (away from the center).
+    f0 = np.stack([idx[:-1, :-1], idx[1:, :-1], idx[:-1, 1:]], axis=-1)
+    f1 = np.stack([idx[:-1, 1:], idx[1:, :-1], idx[1:, 1:]], axis=-1)
     faces = np.concatenate([f0.reshape(-1, 3), f1.reshape(-1, 3)], axis=0)
     return verts, faces.astype(np.int64), uv
