@@ -1,0 +1,99 @@
+"""Scaffolding layer: config system, scalar schedules, checkpoints, saving."""
+
+import os
+
+import numpy as np
+import pytest
+
+from worldrenderer_tpu.utils import (
+    C,
+    ExperimentConfig,
+    SaverMixin,
+    load_checkpoint,
+    load_config,
+    save_checkpoint,
+)
+from worldrenderer_tpu.utils.config import from_dotlist, merge_dicts, resolve
+from worldrenderer_tpu.utils.misc import load_module_weights
+
+
+def test_config_yaml_merge_and_cli(tmp_path):
+    base = tmp_path / "base.yaml"
+    base.write_text("name: exp\nseed: 1\ndata: {batch: 4, res: 64}\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(f"extends: {base}\ndata: {{res: 128}}\ntag: t\n")
+    cfg = load_config(
+        str(child),
+        cli_args=["data.batch=8", "seed=7"],
+        makedirs=False,
+        exp_root_dir=str(tmp_path / "out"),
+        use_timestamp=False,
+    )
+    assert cfg.name == "exp"
+    assert cfg.seed == 7
+    assert cfg.data == {"batch": 8, "res": 128}
+    assert cfg.trial_dir.endswith(os.path.join("exp", "t"))
+
+
+def test_config_resolvers():
+    d = resolve(
+        {
+            "a": 4,
+            "b": "${mul:${a},3}",
+            "c": "${idiv:${b},5}",
+            "d": "${not:${gt0:${a}}}",
+            "steps": "${calc_num_train_steps:1024,4,10,1,8}",
+        }
+    )
+    assert d["b"] == 12
+    assert d["c"] == 2
+    assert d["d"] is False
+    assert d["steps"] == 320
+
+
+def test_dotlist_types():
+    d = from_dotlist(["a.b=1", "a.c=true", "x=hello", "y=1.5"])
+    assert d == {"a": {"b": 1, "c": True}, "x": "hello", "y": 1.5}
+
+
+def test_merge_dicts_deep():
+    out = merge_dicts({"a": {"b": 1, "c": 2}}, {"a": {"c": 3}, "d": 4})
+    assert out == {"a": {"b": 1, "c": 3}, "d": 4}
+
+
+def test_scalar_schedule():
+    assert C(2.5, 0, 0) == 2.5
+    # [start_step, start_value, end_value, end_step]
+    assert C([0, 0.0, 1.0, 10], 0, 5) == 0.5
+    assert C([0, 0.0, 1.0, 10], 0, 20) == 1.0
+    # 3-element form prepends start_step=0
+    assert C([1.0, 0.0, 10], 0, 5) == 0.5
+    # float end_step keys on epoch
+    assert C([0, 0.0, 1.0, 10.0], 5, 99999) == 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"tex": np.ones((4, 4, 3)), "opt": {"mu": np.zeros(3)}}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, state, epoch=2, global_step=100)
+    loaded, epoch, step = load_checkpoint(path)
+    assert epoch == 2 and step == 100
+    np.testing.assert_array_equal(loaded["tex"], state["tex"])
+    np.testing.assert_array_equal(loaded["opt"]["mu"], state["opt"]["mu"])
+
+    flat, _, _ = load_module_weights(path, module_name="opt")
+    np.testing.assert_array_equal(flat["mu"], state["opt"]["mu"])
+
+
+def test_saver_mixin(tmp_path, rng):
+    s = SaverMixin()
+    s.set_save_dir(str(tmp_path))
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    p = s.save_rgb_image("a/img.png", img)
+    assert os.path.exists(p)
+    p = s.save_image_grid("grid.png", [img, img, img, img], texts=["a", "b", "c", "d"])
+    assert os.path.exists(p)
+    p = s.save_grayscale_image("gray.png", img[..., 0], cmap="jet")
+    assert os.path.exists(p)
+    p = s.save_npz("arr.npz", x=img)
+    assert os.path.exists(p)

@@ -190,12 +190,31 @@ def get_camera(
     aspect_wh: float = 1.0,
     near: float = 0.1,
     far: float = 100.0,
+    perturb_camera_position: float = 0.0,
+    key: Optional[jnp.ndarray] = None,
 ) -> Camera:
-    """Build a perspective Camera batch (reference camera.py:152-191)."""
+    """Build a perspective Camera batch (reference camera.py:152-191).
+
+    ``perturb_camera_position`` jitters camera positions by uniform noise in
+    [-p, p] (reference camera.py:170-178); pass ``key`` for reproducibility
+    (defaults to a fixed seed — functional JAX randomness).
+    """
     if w2c is None:
         if c2w is None:
             c2w = get_c2w(elevation_deg, distance, azimuth_deg, num_views)
         c2w = _as_f32(c2w)
+        if perturb_camera_position > 0.0:
+            import jax
+
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            noise = jax.random.uniform(
+                key,
+                c2w[:, :3, 3].shape,
+                minval=-perturb_camera_position,
+                maxval=perturb_camera_position,
+            )
+            c2w = c2w.at[:, :3, 3].add(noise)
         cam_pos = c2w[:, :3, 3]
         w2c = rigid_inverse(c2w)
     else:

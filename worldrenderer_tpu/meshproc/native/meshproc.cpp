@@ -1,0 +1,666 @@
+// meshproc: native mesh-processing kernels for worldrenderer_tpu.
+//
+// TPU-native replacement for the reference's pymeshlab/open3d C++ usage
+// (mvadapter/utils/mesh_utils/mesh_process.py): vertex welding, connected-
+// component island removal, duplicate/degenerate face repair, hole filling,
+// Taubin smoothing, quadric-error-metric decimation, and a normal-clustered
+// planar UV atlas.  Exposed through a minimal C ABI consumed via ctypes.
+//
+// Build: g++ -O3 -march=native -fPIC -shared -std=c++17 meshproc.cpp -o libmeshproc.so
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <vector>
+#include <array>
+#include <queue>
+#include <unordered_map>
+#include <unordered_set>
+#include <algorithm>
+#include <limits>
+
+namespace {
+
+using std::size_t;
+
+struct V3 {
+  double x = 0, y = 0, z = 0;
+  V3() = default;
+  V3(double a, double b, double c) : x(a), y(b), z(c) {}
+  V3 operator+(const V3& o) const { return {x + o.x, y + o.y, z + o.z}; }
+  V3 operator-(const V3& o) const { return {x - o.x, y - o.y, z - o.z}; }
+  V3 operator*(double s) const { return {x * s, y * s, z * s}; }
+  double dot(const V3& o) const { return x * o.x + y * o.y + z * o.z; }
+  V3 cross(const V3& o) const {
+    return {y * o.z - z * o.y, z * o.x - x * o.z, x * o.y - y * o.x};
+  }
+  double norm() const { return std::sqrt(dot(*this)); }
+  V3 normalized() const {
+    double n = norm();
+    return n > 1e-30 ? (*this) * (1.0 / n) : V3{0, 0, 0};
+  }
+};
+
+struct Mesh {
+  std::vector<V3> v;
+  std::vector<std::array<int64_t, 3>> f;
+};
+
+Mesh make_mesh(const double* verts, int64_t nv, const int64_t* faces, int64_t nf) {
+  Mesh m;
+  m.v.resize(nv);
+  for (int64_t i = 0; i < nv; ++i)
+    m.v[i] = {verts[3 * i], verts[3 * i + 1], verts[3 * i + 2]};
+  m.f.resize(nf);
+  for (int64_t i = 0; i < nf; ++i)
+    m.f[i] = {faces[3 * i], faces[3 * i + 1], faces[3 * i + 2]};
+  return m;
+}
+
+// ---------------------------------------------------------------------------
+// Vertex welding via spatial hash (meshing_merge_close_vertices analog).
+// threshold is an absolute distance.
+// ---------------------------------------------------------------------------
+void weld_vertices(Mesh& m, double threshold) {
+  const double cell = threshold > 0 ? threshold : 1e-12;
+  auto key = [cell](const V3& p) {
+    auto q = [cell](double x) { return (int64_t)std::floor(x / cell); };
+    int64_t a = q(p.x), b = q(p.y), c = q(p.z);
+    return (uint64_t)(a * 73856093LL) ^ (uint64_t)(b * 19349663LL) ^
+           (uint64_t)(c * 83492791LL);
+  };
+  std::unordered_map<uint64_t, std::vector<int64_t>> grid;
+  grid.reserve(m.v.size() * 2);
+  std::vector<int64_t> remap(m.v.size(), -1);
+  std::vector<V3> out_v;
+  out_v.reserve(m.v.size());
+  const double t2 = threshold * threshold;
+  for (size_t i = 0; i < m.v.size(); ++i) {
+    const V3& p = m.v[i];
+    int64_t found = -1;
+    // check 27 neighbor cells
+    for (int dx = -1; dx <= 1 && found < 0; ++dx)
+      for (int dy = -1; dy <= 1 && found < 0; ++dy)
+        for (int dz = -1; dz <= 1 && found < 0; ++dz) {
+          V3 probe{p.x + dx * cell, p.y + dy * cell, p.z + dz * cell};
+          auto it = grid.find(key(probe));
+          if (it == grid.end()) continue;
+          for (int64_t j : it->second) {
+            V3 d = out_v[j] - p;
+            if (d.dot(d) <= t2) { found = j; break; }
+          }
+        }
+    if (found < 0) {
+      found = (int64_t)out_v.size();
+      out_v.push_back(p);
+      grid[key(p)].push_back(found);
+    }
+    remap[i] = found;
+  }
+  for (auto& face : m.f)
+    for (auto& idx : face) idx = remap[idx];
+  m.v = std::move(out_v);
+  // drop degenerate faces
+  std::vector<std::array<int64_t, 3>> out_f;
+  out_f.reserve(m.f.size());
+  for (auto& face : m.f)
+    if (face[0] != face[1] && face[1] != face[2] && face[0] != face[2])
+      out_f.push_back(face);
+  m.f = std::move(out_f);
+}
+
+// ---------------------------------------------------------------------------
+// Remove unreferenced vertices.
+// ---------------------------------------------------------------------------
+void compact_vertices(Mesh& m) {
+  std::vector<int64_t> remap(m.v.size(), -1);
+  std::vector<V3> out_v;
+  for (auto& face : m.f)
+    for (auto& idx : face)
+      if (remap[idx] < 0) {
+        remap[idx] = (int64_t)out_v.size();
+        out_v.push_back(m.v[idx]);
+      }
+  for (auto& face : m.f)
+    for (auto& idx : face) idx = remap[idx];
+  m.v = std::move(out_v);
+}
+
+// ---------------------------------------------------------------------------
+// Connected components by shared vertices (union-find); drop components with
+// fewer than min_faces faces (meshing_remove_connected_component_by_face_number).
+// ---------------------------------------------------------------------------
+struct UF {
+  std::vector<int64_t> p;
+  explicit UF(size_t n) : p(n) { for (size_t i = 0; i < n; ++i) p[i] = (int64_t)i; }
+  int64_t find(int64_t a) { while (p[a] != a) a = p[a] = p[p[a]]; return a; }
+  void unite(int64_t a, int64_t b) { p[find(a)] = find(b); }
+};
+
+void remove_small_components(Mesh& m, int64_t min_faces) {
+  UF uf(m.v.size());
+  for (auto& face : m.f) {
+    uf.unite(face[0], face[1]);
+    uf.unite(face[1], face[2]);
+  }
+  std::unordered_map<int64_t, int64_t> comp_faces;
+  for (auto& face : m.f) comp_faces[uf.find(face[0])]++;
+  std::vector<std::array<int64_t, 3>> out_f;
+  out_f.reserve(m.f.size());
+  for (auto& face : m.f)
+    if (comp_faces[uf.find(face[0])] >= min_faces) out_f.push_back(face);
+  m.f = std::move(out_f);
+  compact_vertices(m);
+}
+
+// ---------------------------------------------------------------------------
+// Repair: drop duplicate faces (orientation-insensitive) and degenerates
+// (meshing_remove_duplicate_faces analog).
+// ---------------------------------------------------------------------------
+void remove_duplicate_faces(Mesh& m) {
+  std::unordered_set<uint64_t> seen;
+  seen.reserve(m.f.size() * 2);
+  std::vector<std::array<int64_t, 3>> out_f;
+  out_f.reserve(m.f.size());
+  for (auto& face : m.f) {
+    std::array<int64_t, 3> s = face;
+    std::sort(s.begin(), s.end());
+    // 21-bit packing is fine up to 2M verts; fall back to mixing for larger.
+    uint64_t h = ((uint64_t)s[0] * 1000003ULL + (uint64_t)s[1]) * 1000003ULL +
+                 (uint64_t)s[2];
+    if (seen.insert(h).second) out_f.push_back(face);
+  }
+  m.f = std::move(out_f);
+}
+
+// ---------------------------------------------------------------------------
+// Boundary-loop hole filling: collect edges used by exactly one face, chain
+// them into loops, fill loops up to max_hole_size by ear-style fan around the
+// loop centroid (meshing_close_holes analog — simpler but watertight).
+// ---------------------------------------------------------------------------
+void fill_holes(Mesh& m, int64_t max_hole_size) {
+  std::unordered_map<uint64_t, int> edge_count;
+  auto ekey = [](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+  };
+  for (auto& face : m.f)
+    for (int e = 0; e < 3; ++e)
+      edge_count[ekey(face[e], face[(e + 1) % 3])]++;
+
+  // directed boundary edges follow face orientation: a->b is boundary if the
+  // undirected edge has count 1.
+  std::unordered_map<int64_t, int64_t> nxt;  // boundary successor map
+  for (auto& face : m.f)
+    for (int e = 0; e < 3; ++e) {
+      int64_t a = face[e], b = face[(e + 1) % 3];
+      if (edge_count[ekey(a, b)] == 1) nxt[b] = a;  // reversed = hole loop orient
+    }
+
+  std::unordered_set<int64_t> visited;
+  for (auto& kv : nxt) {
+    int64_t start = kv.first;
+    if (visited.count(start)) continue;
+    std::vector<int64_t> loop;
+    int64_t cur = start;
+    bool closed = false;
+    while (true) {
+      if ((int64_t)loop.size() > max_hole_size + 1) break;
+      loop.push_back(cur);
+      visited.insert(cur);
+      auto it = nxt.find(cur);
+      if (it == nxt.end()) break;
+      cur = it->second;
+      if (cur == start) { closed = true; break; }
+      if (visited.count(cur)) break;
+    }
+    if (!closed || (int64_t)loop.size() < 3 ||
+        (int64_t)loop.size() > max_hole_size)
+      continue;
+    if (loop.size() == 3) {
+      m.f.push_back({loop[0], loop[1], loop[2]});
+      continue;
+    }
+    V3 c{0, 0, 0};
+    for (int64_t idx : loop) c = c + m.v[idx];
+    c = c * (1.0 / (double)loop.size());
+    int64_t ci = (int64_t)m.v.size();
+    m.v.push_back(c);
+    for (size_t i = 0; i < loop.size(); ++i)
+      m.f.push_back({loop[i], loop[(i + 1) % loop.size()], ci});
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Taubin smoothing: lambda/mu alternating Laplacian steps
+// (apply_coord_taubin_smoothing analog, lambda=0.5, mu=-0.53).
+// ---------------------------------------------------------------------------
+void taubin_smooth(Mesh& m, int steps, double lambda = 0.5, double mu = -0.53) {
+  std::vector<std::vector<int64_t>> nbr(m.v.size());
+  {
+    std::unordered_set<uint64_t> seen;
+    auto ekey = [](int64_t a, int64_t b) {
+      if (a > b) std::swap(a, b);
+      return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+    };
+    for (auto& face : m.f)
+      for (int e = 0; e < 3; ++e) {
+        int64_t a = face[e], b = face[(e + 1) % 3];
+        if (seen.insert(ekey(a, b)).second) {
+          nbr[a].push_back(b);
+          nbr[b].push_back(a);
+        }
+      }
+  }
+  std::vector<V3> buf(m.v.size());
+  auto step = [&](double w) {
+    for (size_t i = 0; i < m.v.size(); ++i) {
+      if (nbr[i].empty()) { buf[i] = m.v[i]; continue; }
+      V3 avg{0, 0, 0};
+      for (int64_t j : nbr[i]) avg = avg + m.v[j];
+      avg = avg * (1.0 / (double)nbr[i].size());
+      buf[i] = m.v[i] + (avg - m.v[i]) * w;
+    }
+    m.v.swap(buf);
+  };
+  for (int s = 0; s < steps; ++s) { step(lambda); step(mu); }
+}
+
+// ---------------------------------------------------------------------------
+// Quadric error metric decimation (simplify_quadric_decimation analog).
+// Half-edge-free implementation over an edge heap with lazy invalidation.
+// ---------------------------------------------------------------------------
+struct Quadric {
+  // symmetric 4x4: stored as upper triangle a..j
+  double q[10] = {0};
+  void add_plane(const V3& n, double d) {
+    const double p[4] = {n.x, n.y, n.z, d};
+    int k = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = i; j < 4; ++j) q[k++] += p[i] * p[j];
+  }
+  Quadric operator+(const Quadric& o) const {
+    Quadric r;
+    for (int i = 0; i < 10; ++i) r.q[i] = q[i] + o.q[i];
+    return r;
+  }
+  double eval(const V3& v) const {
+    const double p[4] = {v.x, v.y, v.z, 1.0};
+    // expand symmetric form
+    double m[4][4];
+    int k = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = i; j < 4; ++j) { m[i][j] = q[k]; m[j][i] = q[k]; ++k; }
+    double r = 0;
+    for (int i = 0; i < 4; ++i)
+      for (int j = 0; j < 4; ++j) r += p[i] * m[i][j] * p[j];
+    return r;
+  }
+};
+
+void qem_decimate(Mesh& m, int64_t target_faces) {
+  const size_t nv = m.v.size();
+  std::vector<Quadric> quadrics(nv);
+  for (auto& face : m.f) {
+    V3 a = m.v[face[0]], b = m.v[face[1]], c = m.v[face[2]];
+    V3 n = (b - a).cross(c - a);
+    double area2 = n.norm();
+    if (area2 < 1e-30) continue;
+    n = n * (1.0 / area2);
+    double d = -n.dot(a);
+    for (int i = 0; i < 3; ++i) quadrics[face[i]].add_plane(n, d);
+  }
+
+  // union-find for collapsed vertices
+  UF uf(nv);
+  auto root = [&](int64_t i) { return uf.find(i); };
+
+  struct Cand {
+    double cost;
+    int64_t a, b;
+    int stamp_a, stamp_b;
+    bool operator>(const Cand& o) const { return cost > o.cost; }
+  };
+  std::vector<int> stamp(nv, 0);
+  std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> heap;
+
+  auto edge_cost = [&](int64_t a, int64_t b) {
+    Quadric q = quadrics[a] + quadrics[b];
+    V3 mid = (m.v[a] + m.v[b]) * 0.5;
+    // candidate positions: midpoint, a, b (skip the 4x4 solve; robust)
+    double cm = q.eval(mid), ca = q.eval(m.v[a]), cb = q.eval(m.v[b]);
+    double best = std::min(cm, std::min(ca, cb));
+    V3 pos = cm <= ca && cm <= cb ? mid : (ca <= cb ? m.v[a] : m.v[b]);
+    return std::make_pair(best, pos);
+  };
+
+  std::unordered_set<uint64_t> edge_set;
+  auto ekey = [](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+  };
+  auto push_edge = [&](int64_t a, int64_t b) {
+    auto [cost, pos] = edge_cost(a, b);
+    (void)pos;
+    heap.push({cost, a, b, stamp[a], stamp[b]});
+  };
+  for (auto& face : m.f)
+    for (int e = 0; e < 3; ++e) {
+      int64_t a = face[e], b = face[(e + 1) % 3];
+      if (edge_set.insert(ekey(a, b)).second) push_edge(a, b);
+    }
+
+  // vertex -> incident faces (indices into m.f); faces updated lazily
+  std::vector<std::vector<int64_t>> vfaces(nv);
+  for (size_t fi = 0; fi < m.f.size(); ++fi)
+    for (int e = 0; e < 3; ++e) vfaces[m.f[fi][e]].push_back((int64_t)fi);
+
+  std::vector<char> face_dead(m.f.size(), 0);
+  int64_t alive = (int64_t)m.f.size();
+
+  auto face_alive_count = [&]() { return alive; };
+
+  while (alive > target_faces && !heap.empty()) {
+    Cand c = heap.top();
+    heap.pop();
+    int64_t a = root(c.a), b = root(c.b);
+    if (a == b) continue;
+    if (stamp[c.a] != c.stamp_a || stamp[c.b] != c.stamp_b) continue;
+
+    auto [cost, pos] = edge_cost(a, b);
+    (void)cost;
+    // collapse b into a at pos
+    m.v[a] = pos;
+    quadrics[a] = quadrics[a] + quadrics[b];
+    uf.p[b] = a;
+    stamp[a]++;
+    stamp[b]++;
+
+    // merge face lists; kill degenerate faces
+    auto& fa = vfaces[a];
+    auto& fb = vfaces[b];
+    fa.insert(fa.end(), fb.begin(), fb.end());
+    fb.clear();
+    std::sort(fa.begin(), fa.end());
+    fa.erase(std::unique(fa.begin(), fa.end()), fa.end());
+    std::vector<int64_t> still;
+    still.reserve(fa.size());
+    std::unordered_set<int64_t> nbrs;
+    for (int64_t fi : fa) {
+      if (face_dead[fi]) continue;
+      auto& face = m.f[fi];
+      int64_t r0 = root(face[0]), r1 = root(face[1]), r2 = root(face[2]);
+      if (r0 == r1 || r1 == r2 || r0 == r2) {
+        face_dead[fi] = 1;
+        --alive;
+        continue;
+      }
+      still.push_back(fi);
+      for (int64_t r : {r0, r1, r2})
+        if (r != a) nbrs.insert(r);
+    }
+    vfaces[a] = std::move(still);
+    for (int64_t nb : nbrs) push_edge(a, nb);
+  }
+  (void)face_alive_count;
+
+  // rebuild
+  std::vector<std::array<int64_t, 3>> out_f;
+  out_f.reserve((size_t)alive);
+  for (size_t fi = 0; fi < m.f.size(); ++fi) {
+    if (face_dead[fi]) continue;
+    auto& face = m.f[fi];
+    out_f.push_back({root(face[0]), root(face[1]), root(face[2])});
+  }
+  m.f = std::move(out_f);
+  compact_vertices(m);
+  remove_duplicate_faces(m);
+}
+
+// ---------------------------------------------------------------------------
+// UV atlas: greedy normal-clustered charts, per-chart planar projection,
+// shelf rectangle packing (compute_uvatlas analog). Outputs per-face-corner
+// UVs (nf * 3 * 2) like open3d's triangle.texture_uvs.
+// ---------------------------------------------------------------------------
+void uv_atlas(const Mesh& m, double gutter_frac, double normal_thresh,
+              std::vector<double>& uv_out) {
+  const size_t nf = m.f.size();
+  uv_out.assign(nf * 6, 0.0);
+  if (nf == 0) return;
+
+  // face normals + adjacency
+  std::vector<V3> fn(nf);
+  for (size_t i = 0; i < nf; ++i) {
+    auto& face = m.f[i];
+    fn[i] = (m.v[face[1]] - m.v[face[0]])
+                .cross(m.v[face[2]] - m.v[face[0]])
+                .normalized();
+  }
+  std::unordered_map<uint64_t, std::vector<int64_t>> edge_faces;
+  auto ekey = [](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+  };
+  for (size_t i = 0; i < nf; ++i)
+    for (int e = 0; e < 3; ++e)
+      edge_faces[ekey(m.f[i][e], m.f[i][(e + 1) % 3])].push_back((int64_t)i);
+
+  // region growing: BFS over adjacency while normal stays within thresh of
+  // the chart seed normal.
+  std::vector<int64_t> chart(nf, -1);
+  int64_t n_charts = 0;
+  for (size_t seed = 0; seed < nf; ++seed) {
+    if (chart[seed] >= 0) continue;
+    int64_t cid = n_charts++;
+    V3 seed_n = fn[seed];
+    std::queue<int64_t> bfs;
+    bfs.push((int64_t)seed);
+    chart[seed] = cid;
+    while (!bfs.empty()) {
+      int64_t fi = bfs.front();
+      bfs.pop();
+      for (int e = 0; e < 3; ++e) {
+        auto& lst = edge_faces[ekey(m.f[fi][e], m.f[fi][(e + 1) % 3])];
+        for (int64_t nb : lst) {
+          if (chart[nb] >= 0) continue;
+          if (fn[nb].dot(seed_n) >= normal_thresh) {
+            chart[nb] = cid;
+            bfs.push(nb);
+          }
+        }
+      }
+    }
+  }
+
+  // per chart: build orthonormal basis from the seed normal, project
+  struct ChartBox {
+    int64_t cid;
+    double w, h;
+    double ox, oy;  // origin in projected space
+  };
+  std::vector<V3> chart_n(n_charts, V3{0, 0, 0});
+  for (size_t i = 0; i < nf; ++i) chart_n[chart[i]] = chart_n[chart[i]] + fn[i];
+  std::vector<std::array<V3, 2>> basis(n_charts);
+  for (int64_t c = 0; c < n_charts; ++c) {
+    V3 n = chart_n[c].normalized();
+    V3 up = std::fabs(n.z) < 0.9 ? V3{0, 0, 1} : V3{1, 0, 0};
+    V3 u = n.cross(up).normalized();
+    V3 v = n.cross(u);
+    basis[c] = {u, v};
+  }
+  // projected corner coords + chart bounds
+  std::vector<std::array<double, 6>> proj(nf);
+  std::vector<double> minu(n_charts, 1e300), minv(n_charts, 1e300),
+      maxu(n_charts, -1e300), maxv(n_charts, -1e300);
+  for (size_t i = 0; i < nf; ++i) {
+    int64_t c = chart[i];
+    for (int k = 0; k < 3; ++k) {
+      const V3& p = m.v[m.f[i][k]];
+      double pu = basis[c][0].dot(p), pv = basis[c][1].dot(p);
+      proj[i][2 * k] = pu;
+      proj[i][2 * k + 1] = pv;
+      minu[c] = std::min(minu[c], pu);
+      maxu[c] = std::max(maxu[c], pu);
+      minv[c] = std::min(minv[c], pv);
+      maxv[c] = std::max(maxv[c], pv);
+    }
+  }
+
+  // shelf packing, charts sorted by height
+  std::vector<ChartBox> boxes(n_charts);
+  double total_area = 0;
+  for (int64_t c = 0; c < n_charts; ++c) {
+    double w = std::max(maxu[c] - minu[c], 1e-9);
+    double h = std::max(maxv[c] - minv[c], 1e-9);
+    boxes[c] = {c, w, h, 0, 0};
+    total_area += w * h;
+  }
+  double gut = std::sqrt(total_area) * gutter_frac;
+  std::vector<int64_t> order(n_charts);
+  for (int64_t i = 0; i < n_charts; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return boxes[a].h > boxes[b].h;
+  });
+  double atlas_w = std::sqrt(total_area) * 1.15 + gut;
+  double cx = 0, cy = 0, shelf_h = 0, used_w = atlas_w, used_h = 0;
+  for (int64_t oi : order) {
+    ChartBox& bx = boxes[oi];
+    if (cx + bx.w + gut > atlas_w && cx > 0) {
+      cx = 0;
+      cy += shelf_h + gut;
+      shelf_h = 0;
+    }
+    bx.ox = cx;
+    bx.oy = cy;
+    cx += bx.w + gut;
+    shelf_h = std::max(shelf_h, bx.h);
+    used_h = std::max(used_h, cy + bx.h);
+  }
+  double scale = 1.0 / std::max(used_w, used_h + gut);
+
+  for (size_t i = 0; i < nf; ++i) {
+    int64_t c = chart[i];
+    const ChartBox& bx = boxes[c];
+    for (int k = 0; k < 3; ++k) {
+      double pu = proj[i][2 * k] - minu[c] + bx.ox;
+      double pv = proj[i][2 * k + 1] - minv[c] + bx.oy;
+      uv_out[i * 6 + 2 * k] = pu * scale;
+      uv_out[i * 6 + 2 * k + 1] = pv * scale;
+    }
+  }
+}
+
+// thread-local result buffers for the two-call C ABI
+thread_local std::vector<double> g_verts;
+thread_local std::vector<int64_t> g_faces;
+thread_local std::vector<double> g_uvs;
+
+void store(const Mesh& m) {
+  g_verts.resize(m.v.size() * 3);
+  for (size_t i = 0; i < m.v.size(); ++i) {
+    g_verts[3 * i] = m.v[i].x;
+    g_verts[3 * i + 1] = m.v[i].y;
+    g_verts[3 * i + 2] = m.v[i].z;
+  }
+  g_faces.resize(m.f.size() * 3);
+  for (size_t i = 0; i < m.f.size(); ++i) {
+    g_faces[3 * i] = m.f[i][0];
+    g_faces[3 * i + 1] = m.f[i][1];
+    g_faces[3 * i + 2] = m.f[i][2];
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Full preprocess chain (process_mesh analog): weld -> island removal ->
+// dup-face repair -> hole fill -> taubin -> decimate -> taubin -> repair.
+// Returns 0 on success; result fetched with meshproc_get_result.
+int meshproc_process(const double* verts, int64_t nv, const int64_t* faces,
+                     int64_t nf, double weld_threshold,
+                     double min_component_ratio, int64_t target_faces,
+                     int64_t max_hole_size, int smooth_steps) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  weld_vertices(m, weld_threshold);
+  int64_t min_faces = (int64_t)((double)m.f.size() * min_component_ratio);
+  if (min_faces > 1) remove_small_components(m, min_faces);
+  remove_duplicate_faces(m);
+  fill_holes(m, max_hole_size);
+  if (smooth_steps > 0) taubin_smooth(m, smooth_steps);
+  if (target_faces > 0 && (int64_t)m.f.size() > target_faces)
+    qem_decimate(m, target_faces);
+  if (smooth_steps > 0) taubin_smooth(m, smooth_steps);
+  remove_duplicate_faces(m);
+  compact_vertices(m);
+  store(m);
+  return 0;
+}
+
+int meshproc_weld(const double* verts, int64_t nv, const int64_t* faces,
+                  int64_t nf, double threshold) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  weld_vertices(m, threshold);
+  compact_vertices(m);
+  store(m);
+  return 0;
+}
+
+int meshproc_remove_small_components(const double* verts, int64_t nv,
+                                     const int64_t* faces, int64_t nf,
+                                     int64_t min_faces) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  remove_small_components(m, min_faces);
+  store(m);
+  return 0;
+}
+
+int meshproc_fill_holes(const double* verts, int64_t nv, const int64_t* faces,
+                        int64_t nf, int64_t max_hole_size) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  fill_holes(m, max_hole_size);
+  store(m);
+  return 0;
+}
+
+int meshproc_taubin_smooth(const double* verts, int64_t nv,
+                           const int64_t* faces, int64_t nf, int steps) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  taubin_smooth(m, steps);
+  store(m);
+  return 0;
+}
+
+int meshproc_decimate(const double* verts, int64_t nv, const int64_t* faces,
+                      int64_t nf, int64_t target_faces) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  qem_decimate(m, target_faces);
+  store(m);
+  return 0;
+}
+
+// UV atlas: fills g_uvs with nf*3*2 doubles (per-face-corner UVs).
+int meshproc_uv_atlas(const double* verts, int64_t nv, const int64_t* faces,
+                      int64_t nf, double gutter_frac, double normal_thresh) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  uv_atlas(m, gutter_frac, normal_thresh, g_uvs);
+  return 0;
+}
+
+int64_t meshproc_result_nv() { return (int64_t)(g_verts.size() / 3); }
+int64_t meshproc_result_nf() { return (int64_t)(g_faces.size() / 3); }
+int64_t meshproc_result_nuv() { return (int64_t)(g_uvs.size() / 2); }
+
+void meshproc_get_result(double* verts_out, int64_t* faces_out) {
+  if (verts_out && !g_verts.empty())
+    std::memcpy(verts_out, g_verts.data(), g_verts.size() * sizeof(double));
+  if (faces_out && !g_faces.empty())
+    std::memcpy(faces_out, g_faces.data(), g_faces.size() * sizeof(int64_t));
+}
+
+void meshproc_get_uvs(double* uv_out) {
+  if (uv_out && !g_uvs.empty())
+    std::memcpy(uv_out, g_uvs.data(), g_uvs.size() * sizeof(double));
+}
+
+}  // extern "C"
