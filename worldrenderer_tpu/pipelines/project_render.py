@@ -61,6 +61,9 @@ def project_and_render(
     axis_convert: bool = False,
     uv_unwarp: bool = True,
     render_chunk: int = 16,
+    keyframe_selection: bool = False,
+    keyframe_t_position: float = 0.20,
+    keyframe_t_rotation: float = 0.5,
     debug: bool = False,
 ) -> None:
     mesh_path = Path(mesh_path)
@@ -98,6 +101,26 @@ def project_and_render(
     )
     num_views = min(num_views_all, len(cam_all))
     cam = cam_all[:num_views]
+
+    if keyframe_selection:
+        # Project from keyframes only (reference pipeline_opt.py:69-88);
+        # rendering below still follows the full/next trajectory.
+        from ..scene.keyframe import get_keyframes
+
+        key_idx = [
+            int(i)
+            for i in get_keyframes(
+                camera_json, num_views,
+                t_position=keyframe_t_position, t_rotation=keyframe_t_rotation,
+            )
+            if 0 <= int(i) < num_views
+        ]
+        if not key_idx:
+            raise RuntimeError("No valid keyframes found within camera range.")
+        cam = cam_all[key_idx]
+        if ifproject:
+            frames_np = frames_np[key_idx]
+        num_views = len(key_idx)
 
     tp = TexturePipeline()
     if ifproject:
@@ -217,6 +240,14 @@ def parse_args(argv=None):
     parser.add_argument("--height", type=int, default=None)
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--no-uv-unwarp", action="store_true")
+    parser.add_argument(
+        "--keyframes",
+        action="store_true",
+        help="project only from auto-selected trajectory keyframes "
+        "(reference pipeline_opt behavior)",
+    )
+    parser.add_argument("--keyframe-t-position", type=float, default=0.20)
+    parser.add_argument("--keyframe-t-rotation", type=float, default=0.5)
     return parser.parse_args(argv)
 
 
@@ -235,6 +266,9 @@ def main(argv=None):
         next_camera_json=args.next_camera_json,
         axis_convert=args.axis_convert,
         uv_unwarp=not args.no_uv_unwarp,
+        keyframe_selection=args.keyframes,
+        keyframe_t_position=args.keyframe_t_position,
+        keyframe_t_rotation=args.keyframe_t_rotation,
         debug=args.debug,
     )
 

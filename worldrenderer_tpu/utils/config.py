@@ -100,15 +100,21 @@ def _resolve_value(expr: str, root: dict):
 
 def _resolve_node(node, root):
     if isinstance(node, str):
-        m = _INTERP_RE.fullmatch(node.strip())
-        if m:  # whole-string interpolation keeps the value's type
-            return _resolve_node(_resolve_value(m.group(1), root), root)
-
-        def sub(match):
-            return str(_resolve_node(_resolve_value(match.group(1), root), root))
-
-        out = _INTERP_RE.sub(sub, node)
-        return out
+        # Innermost-first fixed-point resolution handles nesting like
+        # ${mul:${a},3}: each pass rewrites expressions without inner ${...}.
+        for _ in range(20):
+            m = _INTERP_RE.fullmatch(node.strip())
+            if m:  # whole-string interpolation keeps the value's type
+                return _resolve_node(_resolve_value(m.group(1), root), root)
+            if "${" not in node:
+                return node
+            node = _INTERP_RE.sub(
+                lambda match: str(
+                    _resolve_node(_resolve_value(match.group(1), root), root)
+                ),
+                node,
+            )
+        return node
     if isinstance(node, dict):
         return {k: _resolve_node(v, root) for k, v in node.items()}
     if isinstance(node, list):
