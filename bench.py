@@ -1,6 +1,13 @@
 """Headline benchmark: views/sec/chip for 6-view 512x512 position+normal
 G-buffers of a ~10k-triangle mesh (BASELINE.md north-star: >1000 on v5p).
 
+Methodology notes (important on tunneled/remote TPU backends):
+  * R render iterations run INSIDE one jitted ``lax.scan`` with per-iteration
+    camera variation, reduced on-device to a scalar checksum. Only 4 bytes
+    cross the wire, and fetching the checksum forces execution — dispatch
+    tricks or lazy ``block_until_ready`` backends can't fake the number.
+  * The empty-roundtrip latency floor is measured and subtracted.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -13,6 +20,8 @@ import time
 import numpy as np
 
 TARGET = 1000.0  # views/sec/chip north-star (BASELINE.md)
+N_VIEWS, HEIGHT, WIDTH = 6, 512, 512
+R_INNER = 8  # render iterations per jitted call
 
 
 def main():
@@ -21,6 +30,7 @@ def main():
 
     from worldrenderer_tpu import get_camera
     from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import RasterizerConfig
     from worldrenderer_tpu.render import render
 
     # ~10k-triangle heightfield: (72-1)^2 * 2 = 10082 tris.
@@ -32,44 +42,80 @@ def main():
         t_pos_idx=jnp.asarray(faces, jnp.int32),
     )
 
-    n_views, height, width = 6, 512, 512
     cam = get_camera(
         elevation_deg=35.0,
         distance=3.0,
         fovy_deg=50.0,
-        num_views=n_views,
+        num_views=N_VIEWS,
         near=0.1,
         far=10.0,
     )
 
-    fn = jax.jit(
-        functools.partial(
-            render,
-            height=height,
-            width=width,
-            render_attr=False,
-            render_depth=False,
-            render_normal=True,
-        )
+    cfg = RasterizerConfig(max_tris_per_tile=2048)
+    render_fn = functools.partial(
+        render,
+        height=HEIGHT,
+        width=WIDTH,
+        render_attr=False,
+        render_depth=False,
+        render_normal=True,
+        raster_config=cfg,
     )
 
-    # Warmup / compile.
-    out = fn(mesh, cam)
-    jax.block_until_ready(out)
+    @jax.jit
+    def bench_step(mesh, cam, seed):
+        def body(acc, i):
+            # Perturb the view matrices per iteration so no caching layer can
+            # reuse results; the perturbation is numerically negligible.
+            eps = (seed + i).astype(jnp.float32) * 1e-6
+            c = cam._replace(mvp_mtx=cam.mvp_mtx + eps, w2c=cam.w2c + eps * 0)
+            out = render_fn(mesh, c)
+            s = (
+                jnp.sum(jnp.abs(out.normal))
+                + jnp.sum(jnp.abs(out.pos))
+                + jnp.sum(out.mask)
+            )
+            return acc + s, None
 
-    # Timed: repeat until >= 1s of work.
-    reps = 5
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(R_INNER))
+        return acc
+
+    # Correctness guard: capped binning must match exact binning.
+    exact = render(
+        mesh, cam, HEIGHT, WIDTH, render_attr=False, render_depth=False,
+        render_normal=True,
+    )
+    capped = render_fn(mesh, cam)
+    mask_diff = float(
+        jnp.mean(jnp.abs(capped.mask.astype(jnp.float32) - exact.mask.astype(jnp.float32)))
+    )
+    assert mask_diff < 1e-6, f"binning cap changed coverage: {mask_diff}"
+
+    # Latency floor: trivial scalar roundtrip.
+    tiny = jax.jit(lambda x: x + 1.0)
+    float(tiny(jnp.float32(0)))
+    t0 = time.perf_counter()
+    reps_floor = 5
+    for i in range(reps_floor):
+        float(tiny(jnp.float32(i)))
+    floor = (time.perf_counter() - t0) / reps_floor
+
+    # Warmup / compile.
+    float(bench_step(mesh, cam, jnp.float32(0)))
+
+    reps = 2
     while True:
         t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(mesh, cam)
-        jax.block_until_ready(out)
+        for i in range(reps):
+            v = float(bench_step(mesh, cam, jnp.float32(i)))
         dt = time.perf_counter() - t0
-        if dt > 1.0 or reps >= 640:
+        if dt > 2.0 or reps >= 64:
             break
         reps *= 4
+    assert np.isfinite(v)
 
-    views_per_sec = n_views * reps / dt
+    compute_time = max(dt - floor * reps, 1e-9)
+    views_per_sec = N_VIEWS * R_INNER * reps / compute_time
     print(
         json.dumps(
             {

@@ -148,3 +148,27 @@ def test_nonsquare_resolution():
     rast = rasterize(pos_clip, jnp.asarray(faces, jnp.int32), (480, 720))
     ref = rasterize_np(np.asarray(pos_clip), faces, (480, 720))
     _compare(rast, ref)
+
+
+def test_pallas_backend_matches_xla(rng):
+    """The Pallas z/id kernel (interpret mode on CPU) must agree exactly
+    with the XLA scan path."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.ops.rasterize import RasterizerConfig, rasterize
+    from worldrenderer_tpu.transforms import get_clip_space_position
+    from worldrenderer_tpu.mesh import icosphere
+
+    verts, faces = icosphere(2)
+    cam = get_camera(
+        elevation_deg=20.0, distance=3.0, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+
+    a = rasterize(pos_clip, tri, (64, 128), RasterizerConfig(backend="xla"))
+    b = rasterize(pos_clip, tri, (64, 128), RasterizerConfig(backend="pallas"))
+    np.testing.assert_array_equal(np.asarray(a[..., 3]), np.asarray(b[..., 3]))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

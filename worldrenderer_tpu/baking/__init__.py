@@ -19,6 +19,9 @@ from .uv import (
     uv_padding,
 )
 from .projection import CameraProjection, CameraProjectionOutput, camera_projection
+from .smart_paint import SmartPainter, default_inpaint_func
+from .warp import compute_warp_field, construct_grid_mesh
+from .seg import RMBGModel, SegmentationModel, ThresholdMatting
 
 __all__ = [
     "UVPrecomputeOutput",
@@ -36,4 +39,11 @@ __all__ = [
     "CameraProjection",
     "CameraProjectionOutput",
     "camera_projection",
+    "SmartPainter",
+    "default_inpaint_func",
+    "compute_warp_field",
+    "construct_grid_mesh",
+    "SegmentationModel",
+    "RMBGModel",
+    "ThresholdMatting",
 ]

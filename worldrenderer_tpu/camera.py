@@ -161,6 +161,19 @@ class Camera(NamedTuple):
         return self.w2c.shape[0]
 
 
+def _camera_replace(self: Camera, **kwargs) -> Camera:
+    return Camera(**{f: kwargs.get(f, getattr(self, f)) for f in Camera._fields})
+
+
+# Camera.__getitem__/__len__ give view-batch semantics (reference
+# camera.py:121-137), which hijacks Python's sequence protocol: iteration
+# would walk views, so NamedTuple._replace (which maps over `self`) breaks.
+# Restore field-level iteration and an explicit _replace. (Assigned after
+# class creation — the NamedTuple metaclass forbids overrides in the body.)
+Camera.__iter__ = tuple.__iter__
+Camera._replace = _camera_replace
+
+
 def rigid_inverse(mat: jnp.ndarray) -> jnp.ndarray:
     """Analytic inverse of a batch of rigid 4x4 transforms (R^T, -R^T t).
 

@@ -1,5 +1,6 @@
 """Compute ops: rasterization, interpolation, sampling, image ops, solvers."""
 
+from .antialias import antialias
 from .grid_sample import grid_sample
 from .image import (
     batch_dilate,
@@ -12,6 +13,19 @@ from .image import (
 from .interpolate import interpolate
 from .poisson import PoissonBlendingSolver, poisson_blend
 from .rasterize import RasterizerConfig, rasterize
+from .tensor import (
+    c2w_to_polar,
+    chunk_batch,
+    fourier_position_encoding,
+    get_activation,
+    get_mvp_matrix,
+    get_plucker_rays,
+    polar_to_c2w,
+    rays_intersect_bbox,
+    reflect,
+    scale_tensor,
+    trunc_exp,
+)
 from .texture import texture
 
 __all__ = [
@@ -20,6 +34,18 @@ __all__ = [
     "interpolate",
     "texture",
     "grid_sample",
+    "antialias",
+    "reflect",
+    "scale_tensor",
+    "trunc_exp",
+    "get_activation",
+    "chunk_batch",
+    "get_mvp_matrix",
+    "rays_intersect_bbox",
+    "get_plucker_rays",
+    "c2w_to_polar",
+    "polar_to_c2w",
+    "fourier_position_encoding",
     "sobel_grad_magnitude",
     "max_pool2d",
     "batch_dilate",

@@ -14,17 +14,24 @@ nvdiffrast's ``interpolate``.  z/w is the screen-affine interpolated NDC
 depth of the winning triangle.
 
 Design (TPU-first, not a CUDA translation):
+  * Every edge function and the depth are **screen-affine planes**
+    ``f(p) = alpha*px + beta*py + gamma`` — so evaluating all edges of a
+    chunk of triangles over a pixel tile is ONE matmul
+    ``(4C, 3) @ (3, P)`` that runs on the MXU instead of the VPU.  This is
+    the single biggest throughput lever: the systolic array evaluates
+    coverage ~40x faster than elementwise VPU code.
   * Screen is split into VPU-friendly tiles (default 32 x 128 pixels).
+    Plane constants are **rebased to each tile's origin** during binning, so
+    in-tile pixel coordinates stay in [0, 128) and fp32 edge evaluation
+    keeps sub-0.01-pixel conditioning even at 4k resolutions.
   * A jnp binning pass computes, per tile, a padded list of triangles whose
-    bbox overlaps the tile (stable order = input order).
-  * The z/id pass scans binned triangles in chunks per tile: edge functions
-    are evaluated vertex-relative (good fp32 conditioning), coverage is
-    ``all(e_i >= 0)`` after orientation normalization at setup, and the
-    z-buffer update is a running masked min — no atomics, fully vectorized
-    over the tile's pixels.
+    bbox overlaps the tile (stable order = input order).  ``K = None``
+    means no cap (always exact); a cap trades worst-case correctness for
+    speed on dense meshes.
+  * The z/id pass scans binned triangles in chunks per tile; the z-buffer
+    update is a running masked min — no atomics, fully vectorized.
   * A final resolve pass gathers the winning triangle's coefficients per
-    pixel and computes perspective-correct (u, v) once, instead of carrying
-    them through the scan.
+    pixel and computes perspective-correct (u, v) once.
 
 Limitations vs nvdiffrast (documented, revisit later): no near-plane
 polygon clipping — triangles with any vertex at w <= eps are culled whole;
@@ -49,7 +56,7 @@ class RasterizerConfig(NamedTuple):
 
     tile_h: int = 32
     tile_w: int = 128
-    chunk: int = 32
+    chunk: int = 128
     # Max binned triangles per tile. None = no binning cap (K = T), always
     # correct. Smaller values trade worst-case correctness for speed.
     max_tris_per_tile: Optional[int] = None
@@ -60,17 +67,18 @@ DEFAULT_CONFIG = RasterizerConfig()
 
 
 class _TriSetup(NamedTuple):
-    """Per-triangle screen-space coefficients (one view).
+    """Per-triangle screen-space plane coefficients (one view).
+
+    Edge i of triangle t: ``e_i(p) = planes[t, i, 0] * px +
+    planes[t, i, 1] * py + planes[t, i, 2]`` with px/py in pixel units
+    (pixel centers at +0.5). Row 3 is the affine z/w plane. Coverage is
+    ``all(e_i >= 0)`` after orientation normalization at setup.
 
     All arrays have a trailing padded slot at index T (valid=False) so that
     binned id lists can safely pad with T.
     """
 
-    ax: jnp.ndarray  # (T+1, 3) per-edge anchor x (edge i anchored at vertex (i+1)%3)
-    ay: jnp.ndarray  # (T+1, 3) per-edge anchor y
-    dxs: jnp.ndarray  # (T+1, 3) edge x-delta, orientation-normalized
-    dys: jnp.ndarray  # (T+1, 3) edge y-delta, orientation-normalized
-    zc: jnp.ndarray  # (T+1, 3) z/w per vertex scaled by 1/|area|  (z = sum e_i * zc_i)
+    planes: jnp.ndarray  # (T+1, 4, 3) f32 — 3 edge planes + z plane
     inv_w: jnp.ndarray  # (T+1, 3) 1/w per vertex
     inv_area: jnp.ndarray  # (T+1,) 1/|area|
     valid: jnp.ndarray  # (T+1,) bool
@@ -90,14 +98,14 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
     zw = v[..., 2] * inv_w
 
     # Edge i runs from vertex (i+1)%3 to (i+2)%3; e_i is the barycentric
-    # numerator of vertex i.
+    # numerator of vertex i:  e_i(p) = dx*(py - ay) - dy*(px - ax).
     nxt = jnp.array([1, 2, 0])
     prv = jnp.array([2, 0, 1])
     ax = x[:, nxt]
     ay = y[:, nxt]
     dx = x[:, prv] - ax  # (T, 3)
     dy = y[:, prv] - ay
-    # Signed 2*area = e_2 evaluated at vertex 2 == cross(v1-v0, v2-v0).
+    # Signed 2*area = cross(v1-v0, v2-v0).
     area = (x[:, 1] - x[:, 0]) * (y[:, 2] - y[:, 0]) - (y[:, 1] - y[:, 0]) * (
         x[:, 2] - x[:, 0]
     )
@@ -107,7 +115,17 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
     inv_area = jnp.where(valid, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
     dxs = dx * sgn[:, None]
     dys = dy * sgn[:, None]
-    zc = zw * inv_area[:, None]
+
+    # Edge planes: alpha = -dys, beta = dxs, gamma = dys*ax - dxs*ay.
+    alpha = -dys
+    beta = dxs
+    gamma = dys * ax - dxs * ay
+    edge_planes = jnp.stack([alpha, beta, gamma], axis=-1)  # (T, 3, 3)
+
+    # z/w is screen-affine: z(p) = sum_i e_i(p) * zw_i / |area|.
+    zc = zw * inv_area[:, None]  # (T, 3)
+    z_plane = jnp.einsum("ti,tic->tc", zc, edge_planes)  # (T, 3)
+    planes = jnp.concatenate([edge_planes, z_plane[:, None, :]], axis=1)
 
     bbox = jnp.stack(
         [x.min(axis=1), x.max(axis=1), y.min(axis=1), y.max(axis=1)], axis=-1
@@ -118,11 +136,7 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
         return jnp.pad(a, cfg, constant_values=fill)
 
     return _TriSetup(
-        ax=pad(ax),
-        ay=pad(ay),
-        dxs=pad(dxs),
-        dys=pad(dys),
-        zc=pad(zc),
+        planes=pad(planes),
         inv_w=pad(inv_w),
         inv_area=pad(inv_area),
         valid=pad(valid, False),
@@ -181,61 +195,94 @@ def _bin_triangles(
     return jnp.where(keep, ids, t_total)
 
 
-def _raster_zid_tile(
+_BIG_NEG = -3.0e38
+
+
+def _gather_tile_coeffs(
     setup: _TriSetup,
-    ids: jnp.ndarray,  # (K,) binned ids for this tile
-    tile_y0: jnp.ndarray,
-    tile_x0: jnp.ndarray,
+    ids: jnp.ndarray,  # (n_tiles, K)
+    tile_origin: jnp.ndarray,  # (n_tiles, 2) float32 (x0, y0)
+) -> jnp.ndarray:
+    """Gather per-tile plane coefficients and rebase their constant term to
+    the tile origin (tile-local pixel coordinates keep fp32 conditioning).
+
+    Invalid/padded triangles get an edge-0 constant of -BIG, so the
+    ``e0 >= 0`` coverage test excludes them with no separate mask.
+
+    Returns coeffs (n_tiles, 4K, 3) laid out as [e0|e1|e2|z] blocks of K."""
+    planes = setup.planes[ids]  # (n_tiles, K, 4, 3)
+    ox = tile_origin[:, 0][:, None, None]
+    oy = tile_origin[:, 1][:, None, None]
+    gamma = planes[..., 2] + planes[..., 0] * ox + planes[..., 1] * oy
+    valid = setup.valid[ids]  # (n_tiles, K)
+    gamma = gamma.at[..., 0].set(jnp.where(valid, gamma[..., 0], _BIG_NEG))
+    planes = jnp.concatenate([planes[..., :2], gamma[..., None]], axis=-1)
+    n_tiles, k = ids.shape
+    return planes.transpose(0, 2, 1, 3).reshape(n_tiles, 4 * k, 3)
+
+
+def _raster_zid_tile(
+    coeffs: jnp.ndarray,  # (4K, 3) tile-local plane coefficients
+    ids: jnp.ndarray,  # (K,) global triangle ids
     tile_h: int,
     tile_w: int,
     chunk: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """z/id pass for one tile. Returns (z (th, tw), id (th, tw))."""
+    """z/id pass for one tile. Returns (z (th, tw), id (th, tw)).
+
+    Per chunk of C triangles, ONE (4C, 3) @ (3, P) matmul evaluates all
+    edge and depth planes over the tile's P pixels on the MXU; the VPU then
+    only does the coverage compare and the running min."""
     k = ids.shape[0]
-    n_chunks = -(-k // chunk)
-    pad = n_chunks * chunk - k
-    t_total = setup.valid.shape[0] - 1
-    ids = jnp.pad(ids, (0, pad), constant_values=t_total).reshape(n_chunks, chunk)
+    c = min(chunk, k)
+    n_chunks = -(-k // c)
+    p = tile_h * tile_w
 
-    # Tile-local pixel centers (flattened P = th * tw).
-    ly = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0).reshape(-1) + 0.5
-    )
-    lx = (
-        jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1).reshape(-1) + 0.5
-    )
-    px = lx + tile_x0  # (P,)
-    py = ly + tile_y0
+    # B matrix: tile-local pixel centers.
+    ly = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0).reshape(-1) + 0.5
+    lx = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1).reshape(-1) + 0.5
+    b_mat = jnp.stack([lx, ly, jnp.ones_like(lx)], axis=0)  # (3, P)
 
-    def body(carry, ids_c):
+    # Pad K up to chunk multiple (padded slots: e0 const -BIG -> uncovered).
+    pad = n_chunks * c - k
+    kp = k + pad
+    if pad:
+        pad_block = jnp.zeros((4, pad, 3), coeffs.dtype)
+        pad_block = pad_block.at[0, :, 2].set(_BIG_NEG)
+        coeffs = jnp.concatenate([coeffs.reshape(4, k, 3), pad_block], axis=1)
+        ids = jnp.pad(ids, (0, pad), constant_values=0)
+    else:
+        coeffs = coeffs.reshape(4, k, 3)
+
+    def body(carry, inputs):
         zbuf, idbuf = carry
-        ax = setup.ax[ids_c]  # (C, 3)
-        ay = setup.ay[ids_c]
-        dxs = setup.dxs[ids_c]
-        dys = setup.dys[ids_c]
-        zc = setup.zc[ids_c]
-        valid = setup.valid[ids_c]  # (C,)
-
-        # e_i(p) = dxs_i * (py - ay_i) - dys_i * (px - ax_i)   -> (C, 3, P)
-        rel_x = px[None, None, :] - ax[..., None]
-        rel_y = py[None, None, :] - ay[..., None]
-        e = dxs[..., None] * rel_y - dys[..., None] * rel_x
-        cov = jnp.all(e >= 0, axis=1) & valid[:, None]  # (C, P)
-        z = jnp.sum(e * zc[..., None], axis=1)  # (C, P)
-        cov &= (z >= -1.0) & (z <= 1.0)
+        coeffs_c, ids_c = inputs  # (4, C, 3), (C,)
+        a_mat = coeffs_c.reshape(4 * c, 3)
+        e = jnp.dot(a_mat, b_mat, preferred_element_type=jnp.float32)  # (4C, P)
+        e = e.reshape(4, c, p)
+        z = e[3]
+        cov = (
+            (e[0] >= 0) & (e[1] >= 0) & (e[2] >= 0) & (z >= -1.0) & (z <= 1.0)
+        )
         z = jnp.where(cov, z, jnp.inf)
 
-        slot = jnp.argmin(z, axis=0)  # (P,) ties -> earliest
-        zmin = jnp.take_along_axis(z, slot[None], axis=0)[0]
-        gid = ids_c[slot]
+        # Gather-free winner selection (gathers serialize on TPU): min-z,
+        # then min-id among the z==zmin rows. Binned ids ascend, so the
+        # smallest id is the earliest in order — same tie rule as argmin.
+        zmin = jnp.min(z, axis=0)  # (P,)
+        id_cand = jnp.where(z == zmin[None], ids_c[:, None], 2**30)
+        idmin = jnp.min(id_cand, axis=0)
         upd = zmin < zbuf
         zbuf = jnp.where(upd, zmin, zbuf)
-        idbuf = jnp.where(upd, gid + 1, idbuf)
+        idbuf = jnp.where(upd, idmin + 1, idbuf)
         return (zbuf, idbuf), None
 
-    p = tile_h * tile_w
     init = (jnp.full((p,), jnp.inf, jnp.float32), jnp.zeros((p,), jnp.int32))
-    (zbuf, idbuf), _ = jax.lax.scan(body, init, ids)
+    xs = (
+        coeffs.reshape(4, n_chunks, c, 3).transpose(1, 0, 2, 3),
+        ids.reshape(n_chunks, c),
+    )
+    (zbuf, idbuf), _ = jax.lax.scan(body, init, xs)
     return zbuf.reshape(tile_h, tile_w), idbuf.reshape(tile_h, tile_w)
 
 
@@ -249,14 +296,15 @@ def _resolve_uv(
     px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) + 0.5
     py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) + 0.5
 
-    ax = setup.ax[t]  # (H, W, 3)
-    ay = setup.ay[t]
-    dxs = setup.dxs[t]
-    dys = setup.dys[t]
-    inv_w = setup.inv_w[t]
+    planes = setup.planes[t]  # (H, W, 4, 3)
+    inv_w = setup.inv_w[t]  # (H, W, 3)
     inv_area = setup.inv_area[t]
 
-    e = dxs * (py[..., None] - ay) - dys * (px[..., None] - ax)  # (H, W, 3)
+    e = (
+        planes[..., :3, 0] * px[..., None]
+        + planes[..., :3, 1] * py[..., None]
+        + planes[..., :3, 2]
+    )  # (H, W, 3)
     b = e * inv_area[..., None]
     pw = b * inv_w  # (H, W, 3)
     denom = jnp.sum(pw, axis=-1)
@@ -292,13 +340,21 @@ def _rasterize_single(
     tile_ix = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
     ty0 = (tile_ix // n_tx * tile_h).astype(jnp.float32)
     tx0 = (tile_ix % n_tx * tile_w).astype(jnp.float32)
+    tile_origin = jnp.stack([tx0, ty0], axis=-1)
 
-    zid = jax.vmap(
-        lambda i, y0, x0: _raster_zid_tile(
-            setup, i, y0, x0, tile_h, tile_w, config.chunk
+    coeffs = _gather_tile_coeffs(setup, ids, tile_origin)
+
+    if config.backend == "pallas":
+        from .rasterize_pallas import raster_zid_tiles_pallas
+
+        z_tiles, id_tiles = raster_zid_tiles_pallas(
+            coeffs, ids, tile_h, tile_w, config.chunk
         )
-    )(ids, ty0, tx0)
-    z_tiles, id_tiles = zid  # (n_tiles, th, tw)
+    else:
+        z_tiles, id_tiles = jax.vmap(
+            lambda co, i: _raster_zid_tile(co, i, tile_h, tile_w, config.chunk)
+        )(coeffs, ids)
+
     zmap = (
         z_tiles.reshape(n_ty, n_tx, tile_h, tile_w)
         .transpose(0, 2, 1, 3)
@@ -334,8 +390,4 @@ def rasterize(
         raise ValueError("pos must be (B, V, 4) — range mode is not supported")
     pos = pos.astype(jnp.float32)
     tri = tri.astype(jnp.int32)
-    if config.backend == "pallas":
-        from .rasterize_pallas import rasterize_pallas
-
-        return rasterize_pallas(pos, tri, resolution, config)
     return _rasterize_batched(pos, tri, tuple(resolution), config)

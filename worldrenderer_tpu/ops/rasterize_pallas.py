@@ -1,0 +1,145 @@
+"""Pallas TPU kernel for the rasterizer's z/id pass.
+
+One kernel instance owns one screen tile. Per chunk of C binned triangles it
+evaluates all edge/depth planes with (C, 3) @ (3, P) matmuls on the MXU and
+keeps the running z-buffer in VMEM — the chunk intermediates never touch
+HBM, unlike the XLA scan path where each (4C, P) plane tensor round-trips
+through memory.
+
+Two gather-free tricks keep the kernel pure vector/matrix code:
+  * triangle validity is folded into the edge-0 plane constant (-BIG for
+    invalid/padded slots) by the caller, so coverage needs no mask input;
+  * the winner is tracked as its *slot* (position in the tile's binned
+    list, generated with iota) via a min-reduction over
+    ``where(z == zmin, slot, BIG)``; the caller converts slots to global
+    triangle ids with one cheap XLA gather. Ties break to the smallest
+    slot = earliest in list, matching the XLA path's argmin rule.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["raster_zid_tiles_pallas"]
+
+_BIG_Z = 3.0e38
+_BIG_SLOT = 2**30
+
+
+def _kernel(coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h, tile_w):
+    p = tile_h * tile_w
+    n_chunks = k // c
+
+    # B matrix: rows [lx + 0.5, ly + 0.5, 1] over the flattened tile.
+    flat = jax.lax.broadcasted_iota(jnp.int32, (3, p), 1)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (3, p), 0)
+    lx = (flat % tile_w).astype(jnp.float32) + 0.5
+    ly = (flat // tile_w).astype(jnp.float32) + 0.5
+    b_mat = jnp.where(rowid == 0, lx, jnp.where(rowid == 1, ly, 1.0))
+
+    def body(ci, carry):
+        zbuf, slotbuf = carry  # (1, P) f32, (1, P) i32
+        c0 = ci * c
+
+        def plane(block):
+            a = coeffs_ref[0, pl.ds(block * k + c0, c), :]  # (C, 3)
+            return jnp.dot(a, b_mat, preferred_element_type=jnp.float32)
+
+        e0 = plane(0)
+        e1 = plane(1)
+        e2 = plane(2)
+        z = plane(3)  # (C, P)
+
+        cov = (
+            (e0 >= 0.0)
+            & (e1 >= 0.0)
+            & (e2 >= 0.0)
+            & (z >= -1.0)
+            & (z <= 1.0)
+        )
+        z = jnp.where(cov, z, _BIG_Z)
+        zmin = jnp.min(z, axis=0, keepdims=True)  # (1, P)
+        slots = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0) + c0
+        slot_cand = jnp.where(z == zmin, slots, _BIG_SLOT)
+        slotmin = jnp.min(slot_cand, axis=0, keepdims=True)  # (1, P)
+
+        upd = zmin < zbuf
+        zbuf = jnp.where(upd, zmin, zbuf)
+        slotbuf = jnp.where(upd, slotmin, slotbuf)
+        return zbuf, slotbuf
+
+    init = (
+        jnp.full((1, p), _BIG_Z, jnp.float32),
+        jnp.full((1, p), _BIG_SLOT, jnp.int32),
+    )
+    zbuf, slotbuf = jax.lax.fori_loop(0, n_chunks, body, init)
+    z_out_ref[0, :, :] = jnp.where(zbuf >= _BIG_Z, jnp.inf, zbuf)
+    slot_out_ref[0, :, :] = slotbuf
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def raster_zid_tiles_pallas(
+    coeffs: jnp.ndarray,  # (n_tiles, 4K, 3) f32 tile-rebased planes
+    ids: jnp.ndarray,  # (n_tiles, K) int32 (padded slots may be anything)
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (z (n_tiles, th, tw) f32, id+1 map (n_tiles, th, tw) i32)."""
+    n_tiles, four_k, _ = coeffs.shape
+    k = four_k // 4
+    c = min(chunk, k)
+    pad = (-k) % c
+    if pad:
+        # Padded slots: edge-0 constant -BIG -> never covered.
+        pad_block = jnp.zeros((n_tiles, 4, pad, 3), coeffs.dtype)
+        pad_block = pad_block.at[:, 0, :, 2].set(-_BIG_Z)
+        coeffs = jnp.concatenate(
+            [coeffs.reshape(n_tiles, 4, k, 3), pad_block], axis=2
+        ).reshape(n_tiles, 4 * (k + pad), 3)
+        k += pad
+
+    p = tile_h * tile_w
+    kernel = functools.partial(_kernel, k=k, c=c, tile_h=tile_h, tile_w=tile_w)
+    # Interpret mode keeps the kernel testable on the CPU golden-test mesh.
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    z, slot = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * k, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * 4 * k * 3 * p,
+            bytes_accessed=n_tiles * (4 * k * 3 * 4 + 2 * p * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coeffs)
+
+    z = z.reshape(n_tiles, tile_h, tile_w)
+    slot = slot.reshape(n_tiles, tile_h, tile_w)
+    covered = slot < _BIG_SLOT
+    slot_safe = jnp.where(covered, slot, 0)
+    gid = jnp.take_along_axis(
+        ids, slot_safe.reshape(n_tiles, -1), axis=1
+    ).reshape(n_tiles, tile_h, tile_w)
+    idmap = jnp.where(covered, gid + 1, 0)
+    return z, idmap

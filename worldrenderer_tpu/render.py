@@ -93,6 +93,7 @@ def render(
     render_depth: bool = True,
     render_normal: bool = True,
     render_tangent: bool = False,
+    antialias_attr: bool = False,
     depth_normalization_strategy=DepthControlNetNormalization(),
     attr_background: Union[float, jnp.ndarray] = 0.5,
     normal_background: Union[float, jnp.ndarray] = 0.0,
@@ -133,7 +134,12 @@ def render(
         tex = texture_override if texture_override is not None else mesh.texture
         gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
         gb_rgb_bg = jnp.ones_like(gb_rgb_fg) * attr_background
-        out["attr"] = jnp.where(mask[..., None], gb_rgb_fg, gb_rgb_bg)
+        gb_rgb = jnp.where(mask[..., None], gb_rgb_fg, gb_rgb_bg)
+        if antialias_attr:
+            from .ops.antialias import antialias as aa
+
+            gb_rgb = aa(gb_rgb, rast)
+        out["attr"] = gb_rgb
 
     if render_normal:
         gb_nrm = interpolate(mesh.v_nrm[None], rast, mesh.stitched_t_pos_idx)

@@ -143,6 +143,32 @@ class SaverMixin:
         grid.save(path)
         return path
 
+    def save_cubemap(
+        self, filename: str, faces, data_range=(0, 1)
+    ) -> str:
+        """Save 6 cubemap faces (+x, -x, +y, -y, +z, -z) in the standard
+        horizontal-cross layout (reference saving.py:412-445)."""
+        faces = [_to_uint8(_to_numpy(f), data_range) for f in faces]
+        assert len(faces) == 6
+        h, w = faces[0].shape[:2]
+        c = faces[0].shape[2] if faces[0].ndim == 3 else 1
+        canvas = np.zeros((3 * h, 4 * w, c), np.uint8)
+        # layout:      [ +y ]
+        #         [-x][+z][+x][-z]
+        #              [ -y ]
+        px, nx, py, ny, pz, nz = faces
+        canvas[0:h, w : 2 * w] = py.reshape(h, w, c)
+        canvas[h : 2 * h, 0:w] = nx.reshape(h, w, c)
+        canvas[h : 2 * h, w : 2 * w] = pz.reshape(h, w, c)
+        canvas[h : 2 * h, 2 * w : 3 * w] = px.reshape(h, w, c)
+        canvas[h : 2 * h, 3 * w : 4 * w] = nz.reshape(h, w, c)
+        canvas[2 * h : 3 * h, w : 2 * w] = ny.reshape(h, w, c)
+        from PIL import Image
+
+        path = self.get_save_path(filename)
+        Image.fromarray(canvas.squeeze()).save(path)
+        return path
+
     # -- arrays / state -----------------------------------------------------
 
     def save_npz(self, filename: str, **arrays) -> str:
