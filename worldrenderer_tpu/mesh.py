@@ -26,9 +26,19 @@ __all__ = [
     "compute_vertex_tangents",
     "with_normals",
     "load_mesh",
+    "mesh_use_texture",
+    "merge_duplicate_vertices",
     "icosphere",
     "make_grid_mesh",
+    "uv_sphere_mesh",
 ]
+
+
+def mesh_use_texture(mesh: "TexturedMesh", texture) -> "TexturedMesh":
+    """Return the mesh with a swapped texture. The reference's mutating
+    contextmanager (mesh.py:188-195) becomes a pure ``_replace`` — pytrees
+    are immutable, so there is nothing to restore."""
+    return mesh._replace(texture=texture)
 
 
 class TexturedMesh(NamedTuple):

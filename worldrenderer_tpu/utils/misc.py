@@ -25,6 +25,7 @@ logger = get_logger(__name__)
 __all__ = [
     "get_rank",
     "find",
+    "cleanup",
     "C",
     "TimeRecorder",
     "time_recorder",
@@ -59,6 +60,20 @@ def find(cls_string: str):
     cls_name = cls_string.split(".")[-1]
     module = importlib.import_module(module_string, package=None)
     return getattr(module, cls_name)
+
+
+def cleanup() -> None:
+    """Free cached compiled programs + host garbage (reference misc.py:109-117
+    torch.cuda.empty_cache analog). Device buffers free with their refs."""
+    import gc
+
+    gc.collect()
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
 
 
 def C(value: Any, epoch: int, global_step: int) -> float:
