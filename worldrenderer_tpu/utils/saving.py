@@ -51,13 +51,32 @@ def _apply_colormap(gray: np.ndarray, cmap: Optional[str]) -> np.ndarray:
 
 
 class SaverMixin:
-    """Mix into pipelines/systems to get artifact saving under a save dir."""
+    """Mix into pipelines/systems to get artifact saving under a save dir.
+
+    Optional wandb mirroring (reference saving.py:115-118, saving.py:207-210):
+    call ``enable_wandb()``; every image save is then also logged if wandb is
+    importable and initialized — silently skipped otherwise."""
 
     _save_dir: Optional[str] = None
+    _wandb_logging: bool = False
 
     def set_save_dir(self, save_dir: str) -> None:
         self._save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
+
+    def enable_wandb(self, enabled: bool = True) -> None:
+        self._wandb_logging = enabled
+
+    def _maybe_log_wandb(self, key: str, path: str) -> None:
+        if not self._wandb_logging:
+            return
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                wandb.log({key: wandb.Image(path)})
+        except Exception:
+            pass
 
     def get_save_dir(self) -> str:
         if self._save_dir is None:
@@ -78,6 +97,7 @@ class SaverMixin:
 
         path = self.get_save_path(filename)
         Image.fromarray(_to_uint8(_to_numpy(img), data_range)).save(path)
+        self._maybe_log_wandb(filename, path)
         return path
 
     def save_grayscale_image(
