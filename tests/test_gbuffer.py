@@ -1,0 +1,116 @@
+"""Fused gather-free G-buffer rasterization vs the classic
+rasterize+interpolate pipeline (both XLA-scan and Pallas-interpret)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from worldrenderer_tpu import get_camera
+from worldrenderer_tpu.mesh import TexturedMesh, icosphere, with_normals
+from worldrenderer_tpu.ops import interpolate, rasterize
+from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+from worldrenderer_tpu.ops.rasterize import RasterizerConfig
+from worldrenderer_tpu.transforms import get_clip_space_position
+
+H, W = 64, 128
+
+
+@pytest.fixture(scope="module")
+def scene():
+    verts, faces = icosphere(2)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+    mesh = with_normals(mesh)
+    cam = get_camera(
+        elevation_deg=20.0, distance=3.0, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    return mesh, pos_clip
+
+
+@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
+def test_gbuffer_matches_classic(scene, backend):
+    mesh, pos_clip = scene
+    tri = mesh.t_pos_idx
+    v_attr = jnp.concatenate([mesh.v_pos, mesh.v_nrm], axis=-1)  # (V, 6)
+
+    cfg = RasterizerConfig(backend=backend)
+    out = rasterize_gbuffer(pos_clip, tri, v_attr, (H, W), cfg)
+
+    rast = rasterize(pos_clip, tri, (H, W))
+    mask_ref = np.asarray(rast[..., 3] > 0)
+    np.testing.assert_array_equal(np.asarray(out.mask), mask_ref)
+    np.testing.assert_array_equal(
+        np.asarray(out.tri_id), np.asarray(rast[..., 3]).astype(np.int32)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.z)[mask_ref], np.asarray(rast[..., 2])[mask_ref],
+        atol=1e-5,
+    )
+
+    pos_ref = interpolate(mesh.v_pos[None], rast, tri)
+    nrm_ref = interpolate(mesh.v_nrm[None], rast, tri)
+    np.testing.assert_allclose(
+        np.asarray(out.attr[..., :3])[mask_ref],
+        np.asarray(pos_ref)[mask_ref],
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.attr[..., 3:])[mask_ref],
+        np.asarray(nrm_ref)[mask_ref],
+        atol=5e-4,
+    )
+
+
+def test_gbuffer_no_attr(scene):
+    mesh, pos_clip = scene
+    out = rasterize_gbuffer(
+        pos_clip, mesh.t_pos_idx, None, (H, W), RasterizerConfig(backend="fused_xla")
+    )
+    assert out.attr is None
+    rast = rasterize(pos_clip, mesh.t_pos_idx, (H, W))
+    np.testing.assert_array_equal(
+        np.asarray(out.mask), np.asarray(rast[..., 3] > 0)
+    )
+
+
+@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
+def test_render_fused_matches_classic(backend):
+    from worldrenderer_tpu.mesh import uv_sphere_mesh
+    from worldrenderer_tpu.render import render
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    tex = np.linspace(0, 1, 32 * 32 * 3, dtype=np.float32).reshape(32, 32, 3)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=20.0, distance=3.0, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    a = render(mesh, cam, H, W, render_attr=True, render_depth=True,
+               render_normal=True)
+    b = render(mesh, cam, H, W, render_attr=True, render_depth=True,
+               render_normal=True,
+               raster_config=RasterizerConfig(backend=backend))
+    m = np.asarray(a.mask)
+    np.testing.assert_array_equal(m, np.asarray(b.mask))
+    np.testing.assert_allclose(
+        np.asarray(a.pos)[m], np.asarray(b.pos)[m], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.depth)[m], np.asarray(b.depth)[m], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.normal)[m], np.asarray(b.normal)[m], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.attr)[m], np.asarray(b.attr)[m], atol=2e-2
+    )

@@ -1,0 +1,245 @@
+"""Fused gather-free G-buffer rasterization: attributes as affine planes.
+
+The key identity: perspective-correct interpolation of any per-vertex
+attribute a is a ratio of two *screen-affine* planes,
+
+    a(p) = [sum_i e_i(p) * invw_i * a_i] / [sum_i e_i(p) * invw_i]
+
+so a chunk of triangles' edge tests, depth, attribute numerators and the
+shared denominator all evaluate over a pixel tile with ONE
+((4 + 1 + A) * C, 3) @ (3, P) matmul on the MXU. The winning triangle's
+values are selected in-register by min/where reductions — the per-pixel
+plane/attribute gathers of the classic resolve+interpolate pipeline
+(ops/rasterize.py:_resolve_uv, ops/interpolate.py) disappear entirely.
+
+This is the performance path behind ``render(..., raster_config=
+RasterizerConfig(backend="fused"))``; the nvdiffrast-contract ``rasterize``
+stays available for exact API parity. Both an XLA scan implementation (CPU
+golden tests, fallback) and a Pallas kernel (TPU) are provided and agree
+bitwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .rasterize import (
+    DEFAULT_CONFIG,
+    RasterizerConfig,
+    _bin_triangles,
+    _triangle_setup,
+    _BIG_NEG,
+)
+
+__all__ = ["rasterize_gbuffer", "GBufferOutput"]
+
+_BIG_SLOT = 2**30
+
+
+class GBufferOutput(NamedTuple):
+    mask: jnp.ndarray  # (B, H, W) bool
+    z: jnp.ndarray  # (B, H, W) f32 NDC depth (0 where background)
+    tri_id: jnp.ndarray  # (B, H, W) i32 triangle_id + 1, 0 = background
+    attr: Optional[jnp.ndarray]  # (B, H, W, A) perspective-correct attrs
+
+
+def _attr_planes(setup, tri: jnp.ndarray, v_attr: jnp.ndarray) -> jnp.ndarray:
+    """Per-triangle numerator planes for each attribute channel plus the
+    shared denominator plane. v_attr (V, A) -> (T+1, A+1, 3) with the
+    denominator last."""
+    a = v_attr[tri]  # (T, 3, A)
+    inv_w = setup.inv_w[:-1]  # (T, 3)
+    eplanes = setup.planes[:-1, :3, :]  # (T, 3edges, 3coef)
+    num = jnp.einsum("tia,ti,tic->tac", a, inv_w, eplanes)  # (T, A, 3)
+    den = jnp.einsum("ti,tic->tc", inv_w, eplanes)[:, None, :]  # (T, 1, 3)
+    planes = jnp.concatenate([num, den], axis=1)  # (T, A+1, 3)
+    return jnp.pad(planes, [(0, 1), (0, 0), (0, 0)])
+
+
+def _gather_tile_rows(
+    all_planes: jnp.ndarray,  # (T+1, R, 3) rows: e0,e1,e2,z, attr..., den
+    valid: jnp.ndarray,  # (T+1,)
+    ids: jnp.ndarray,  # (n_tiles, K)
+    tile_origin: jnp.ndarray,  # (n_tiles, 2)
+) -> jnp.ndarray:
+    """Gather + tile-rebase -> (n_tiles, R*K, 3) in R blocks of K rows."""
+    planes = all_planes[ids]  # (n_tiles, K, R, 3)
+    ox = tile_origin[:, 0][:, None, None]
+    oy = tile_origin[:, 1][:, None, None]
+    gamma = planes[..., 2] + planes[..., 0] * ox + planes[..., 1] * oy
+    v = valid[ids]  # (n_tiles, K)
+    gamma = gamma.at[..., 0].set(jnp.where(v, gamma[..., 0], _BIG_NEG))
+    planes = jnp.concatenate([planes[..., :2], gamma[..., None]], axis=-1)
+    n_tiles, k, r, _ = planes.shape
+    return planes.transpose(0, 2, 1, 3).reshape(n_tiles, r * k, 3)
+
+
+def _zattr_tile_xla(
+    coeffs: jnp.ndarray,  # (R*K, 3)
+    n_attr: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+):
+    """XLA scan version of the fused pass for one tile. Row blocks:
+    [e0, e1, e2, z, id, a_0..a_{A-1}, den]. The id block is a constant
+    plane (gamma = global triangle id), so ties and winner identification
+    flow through the same matmul + min/where machinery — no index vectors.
+    """
+    r = 5 + n_attr + 1
+    k = coeffs.shape[0] // r
+    c = min(chunk, k)
+    n_chunks = -(-k // c)
+    p = tile_h * tile_w
+
+    ly = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 0).reshape(-1) + 0.5
+    lx = jax.lax.broadcasted_iota(jnp.float32, (tile_h, tile_w), 1).reshape(-1) + 0.5
+    b_mat = jnp.stack([lx, ly, jnp.ones_like(lx)], axis=0)  # (3, P)
+
+    pad = n_chunks * c - k
+    if pad:
+        pad_block = jnp.zeros((r, pad, 3), coeffs.dtype)
+        pad_block = pad_block.at[0, :, 2].set(_BIG_NEG)
+        coeffs = jnp.concatenate([coeffs.reshape(r, k, 3), pad_block], axis=1)
+    else:
+        coeffs = coeffs.reshape(r, k, 3)
+
+    def body(carry, coeffs_c):
+        zbuf, idbuf, vbuf = carry  # (P,), (P,), (A+1, P)
+        e = jnp.dot(
+            coeffs_c.reshape(r * c, 3), b_mat, preferred_element_type=jnp.float32
+        ).reshape(r, c, p)
+        z = e[3]
+        idrow = e[4]
+        cov = (e[0] >= 0) & (e[1] >= 0) & (e[2] >= 0) & (z >= -1.0) & (z <= 1.0)
+        zc = jnp.where(cov, z, jnp.inf)
+        zmin = jnp.min(zc, axis=0)  # (P,)
+        id_cand = jnp.where(zc == zmin[None], idrow, jnp.float32(_BIG_SLOT))
+        idmin = jnp.min(id_cand, axis=0)
+        winner = (zc == zmin[None]) & (idrow == idmin[None])  # (C, P)
+        vals = jnp.sum(jnp.where(winner[None], e[5:], 0.0), axis=1)  # (A+1, P)
+        upd = zmin < zbuf
+        zbuf = jnp.where(upd, zmin, zbuf)
+        idbuf = jnp.where(upd, idmin, idbuf)
+        vbuf = jnp.where(upd[None], vals, vbuf)
+        return (zbuf, idbuf, vbuf), None
+
+    init = (
+        jnp.full((p,), jnp.inf, jnp.float32),
+        jnp.full((p,), jnp.float32(_BIG_SLOT), jnp.float32),
+        jnp.zeros((n_attr + 1, p), jnp.float32),
+    )
+    xs = coeffs.reshape(r, n_chunks, c, 3).transpose(1, 0, 2, 3)
+    (zbuf, idbuf, vbuf), _ = jax.lax.scan(body, init, xs)
+    return zbuf, idbuf, vbuf
+
+
+def _gbuffer_single(
+    pos_clip: jnp.ndarray,
+    tri: jnp.ndarray,
+    v_attr: Optional[jnp.ndarray],
+    height: int,
+    width: int,
+    config: RasterizerConfig,
+):
+    tile_h, tile_w = config.tile_h, config.tile_w
+    ph = -(-height // tile_h) * tile_h
+    pw = -(-width // tile_w) * tile_w
+    n_ty, n_tx = ph // tile_h, pw // tile_w
+    t_total = tri.shape[0]
+    n_attr = 0 if v_attr is None else v_attr.shape[-1]
+
+    setup = _triangle_setup(pos_clip, tri, width, height)
+    max_per_tile = config.max_tris_per_tile or t_total
+    ids = _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
+
+    # Constant id plane: evaluating it yields the global triangle id at
+    # every pixel (alpha = beta = 0, gamma = id) — winner identity rides
+    # the same matmul path instead of a gathered index vector.
+    id_plane = jnp.zeros((t_total + 1, 1, 3), jnp.float32)
+    id_plane = id_plane.at[:, 0, 2].set(
+        jnp.arange(t_total + 1, dtype=jnp.float32)
+    )
+
+    if v_attr is not None:
+        attr_planes = _attr_planes(setup, tri, v_attr)  # (T+1, A+1, 3)
+    else:
+        attr_planes = jnp.zeros((t_total + 1, 1, 3), jnp.float32)
+    all_planes = jnp.concatenate([setup.planes, id_plane, attr_planes], axis=1)
+
+    tile_ix = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
+    ty0 = (tile_ix // n_tx * tile_h).astype(jnp.float32)
+    tx0 = (tile_ix % n_tx * tile_w).astype(jnp.float32)
+    origin = jnp.stack([tx0, ty0], axis=-1)
+    coeffs = _gather_tile_rows(all_planes, setup.valid, ids, origin)
+
+    if config.backend == "fused_pallas":
+        from .gbuffer_pallas import zattr_tiles_pallas
+
+        z_t, id_t, v_t = zattr_tiles_pallas(
+            coeffs, n_attr + 1, tile_h, tile_w, config.chunk
+        )
+    else:
+        z_t, id_t, v_t = jax.vmap(
+            lambda co: _zattr_tile_xla(co, n_attr, tile_h, tile_w, config.chunk)
+        )(coeffs)
+        z_t = z_t.reshape(-1, tile_h, tile_w)
+        id_t = id_t.reshape(-1, tile_h, tile_w)
+        v_t = v_t.reshape(-1, n_attr + 1, tile_h, tile_w)
+
+    def detile(x):  # (n_tiles, th, tw) -> (H, W)
+        return (
+            x.reshape(n_ty, n_tx, tile_h, tile_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(ph, pw)[:height, :width]
+        )
+
+    z = detile(z_t)
+    tid = detile(id_t)
+    mask = jnp.isfinite(z) & (tid < jnp.float32(_BIG_SLOT))
+    z = jnp.where(mask, z, 0.0)
+    tri_id = jnp.where(mask, tid.astype(jnp.int32) + 1, 0)
+
+    attr = None
+    if v_attr is not None:
+        vals = jax.vmap(detile, in_axes=1, out_axes=0)(v_t)  # (A+1, H, W)
+        den = vals[-1]
+        den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+        attr = jnp.where(
+            mask[None], vals[:-1] / den[None], 0.0
+        ).transpose(1, 2, 0)  # (H, W, A)
+    return mask, z, tri_id, attr
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _gbuffer_batched(pos, tri, v_attr, resolution, config):
+    height, width = resolution
+    return jax.vmap(
+        lambda p: _gbuffer_single(p, tri, v_attr, height, width, config)
+    )(pos)
+
+
+def rasterize_gbuffer(
+    pos: jnp.ndarray,
+    tri: jnp.ndarray,
+    v_attr: Optional[jnp.ndarray],
+    resolution: Tuple[int, int],
+    config: RasterizerConfig = DEFAULT_CONFIG,
+) -> GBufferOutput:
+    """Fused rasterization + perspective-correct attribute interpolation.
+
+    pos (B, V, 4) clip positions; tri (T, 3); v_attr (V, A) or None.
+    Returns mask / z / tri_id / attr — all gather-free on the hot path.
+    """
+    pos = pos.astype(jnp.float32)
+    tri = tri.astype(jnp.int32)
+    if v_attr is not None:
+        v_attr = v_attr.astype(jnp.float32)
+    mask, z, tri_id, attr = _gbuffer_batched(
+        pos, tri, v_attr, tuple(resolution), config
+    )
+    return GBufferOutput(mask=mask, z=z, tri_id=tri_id, attr=attr)

@@ -1,0 +1,140 @@
+"""Pallas kernel for the fused z + attribute G-buffer pass (see gbuffer.py).
+
+Per tile: loop over chunks of C binned triangles; each of the
+R = 5 + n_vals row blocks (3 edges, depth, constant-id plane, n_vals
+attribute-numerator/denominator planes) evaluates with a (C, 3) @ (3, P)
+MXU matmul; coverage, z-min, winner selection and the attribute mask-sums
+run on the VPU with everything resident in VMEM. The constant-id plane
+makes winner identification gather- and index-vector-free.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["zattr_tiles_pallas"]
+
+_BIG_Z = 3.0e38
+_BIG_SLOT = 2**30
+_BIG_NEG = -3.0e38
+
+
+def _kernel(coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals, tile_h, tile_w):
+    p = tile_h * tile_w
+    r = 5 + n_vals
+    n_chunks = k // c
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (3, p), 1)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (3, p), 0)
+    lx = (flat % tile_w).astype(jnp.float32) + 0.5
+    ly = (flat // tile_w).astype(jnp.float32) + 0.5
+    b_mat = jnp.where(rowid == 0, lx, jnp.where(rowid == 1, ly, 1.0))
+
+    def body(ci, carry):
+        zbuf, idbuf, vbuf = carry  # (1,P) f32, (1,P) f32, (n_vals,P) f32
+        c0 = ci * c
+
+        def plane(block):
+            a = coeffs_ref[0, pl.ds(block * k + c0, c), :]
+            return jnp.dot(a, b_mat, preferred_element_type=jnp.float32)
+
+        e0 = plane(0)
+        e1 = plane(1)
+        e2 = plane(2)
+        z = plane(3)
+        idrow = plane(4)
+        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z >= -1.0) & (z <= 1.0)
+        zc = jnp.where(cov, z, _BIG_Z)
+        zmin = jnp.min(zc, axis=0, keepdims=True)  # (1, P)
+        id_cand = jnp.where(zc == zmin, idrow, jnp.float32(_BIG_SLOT))
+        idmin = jnp.min(id_cand, axis=0, keepdims=True)
+        winner = (zc == zmin) & (idrow == idmin)  # (C, P)
+
+        upd = zmin < zbuf
+        zbuf = jnp.where(upd, zmin, zbuf)
+        idbuf = jnp.where(upd, idmin, idbuf)
+
+        new_vals = []
+        for vi in range(n_vals):
+            val = plane(5 + vi)  # (C, P)
+            vsel = jnp.sum(jnp.where(winner, val, 0.0), axis=0, keepdims=True)
+            new_vals.append(jnp.where(upd, vsel, vbuf[vi : vi + 1]))
+        vbuf = jnp.concatenate(new_vals, axis=0)
+        return zbuf, idbuf, vbuf
+
+    init = (
+        jnp.full((1, p), _BIG_Z, jnp.float32),
+        jnp.full((1, p), jnp.float32(_BIG_SLOT), jnp.float32),
+        jnp.zeros((n_vals, p), jnp.float32),
+    )
+    zbuf, idbuf, vbuf = jax.lax.fori_loop(0, n_chunks, body, init)
+    z_out[0, :, :] = jnp.where(zbuf >= _BIG_Z, jnp.inf, zbuf)
+    id_out[0, :, :] = idbuf
+    v_out[0, :, :] = vbuf
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def zattr_tiles_pallas(
+    coeffs: jnp.ndarray,  # (n_tiles, R*K, 3) with R = 5 + n_vals
+    n_vals: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (z, id (f32 raw, BIG=bg), vals) per tile."""
+    n_tiles, rk, _ = coeffs.shape
+    r = 5 + n_vals
+    k = rk // r
+    c = min(chunk, k)
+    pad = (-k) % c
+    if pad:
+        pad_block = jnp.zeros((n_tiles, r, pad, 3), coeffs.dtype)
+        pad_block = pad_block.at[:, 0, :, 2].set(_BIG_NEG)
+        coeffs = jnp.concatenate(
+            [coeffs.reshape(n_tiles, r, k, 3), pad_block], axis=2
+        ).reshape(n_tiles, r * (k + pad), 3)
+        k += pad
+
+    p = tile_h * tile_w
+    kernel = functools.partial(
+        _kernel, k=k, c=c, n_vals=n_vals, tile_h=tile_h, tile_w=tile_w
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    z, idm, vals = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, r * k, 3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_vals, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_vals, p), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_tiles * r * k * 3 * p,
+            bytes_accessed=n_tiles * (r * k * 3 * 4 + (n_vals + 2) * p * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(coeffs)
+    return (
+        z.reshape(n_tiles, tile_h, tile_w),
+        idm.reshape(n_tiles, tile_h, tile_w),
+        vals.reshape(n_tiles, n_vals, tile_h, tile_w),
+    )

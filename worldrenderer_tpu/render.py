@@ -84,6 +84,122 @@ class SimpleNormalization(NamedTuple):
         return jnp.where(mask, d, self.bg_value)
 
 
+def _render_fused(
+    mesh: TexturedMesh,
+    cam: Camera,
+    v_pos_clip: jnp.ndarray,
+    height: int,
+    width: int,
+    *,
+    render_attr: bool,
+    render_depth: bool,
+    render_normal: bool,
+    render_tangent: bool,
+    antialias_attr: bool,
+    depth_normalization_strategy,
+    attr_background,
+    normal_background,
+    tangent_background,
+    texture_override,
+    texture_filter_mode: str,
+    raster_config: RasterizerConfig,
+) -> "RenderOutput":
+    """Gather-free fast path: all requested channels ride attribute planes
+    through one fused rasterization (ops/gbuffer.py). Normals/tangents are
+    interpolated over the primary topology (per-vertex values required; UV
+    seams get primary-vertex normals rather than the stitched-topology
+    blend of the classic path — identical on stitched meshes). Texture
+    coordinates ride as channels when UVs are per-primary-vertex."""
+    from .mesh import compute_vertex_normals
+    from .ops.gbuffer import rasterize_gbuffer
+
+    nv = mesh.v_pos.shape[0]
+    channels = [mesh.v_pos]
+    slices = {"pos": (0, 3)}
+    at = 3
+
+    if render_normal:
+        v_nrm = mesh.v_nrm
+        if v_nrm is None or v_nrm.shape[0] != nv:
+            v_nrm = compute_vertex_normals(mesh.v_pos, mesh.t_pos_idx)
+        channels.append(v_nrm)
+        slices["normal"] = (at, at + 3)
+        at += 3
+    if render_tangent:
+        v_tang = mesh.v_tang
+        if v_tang is None or v_tang.shape[0] != nv:
+            raise ValueError("fused path needs per-primary-vertex tangents")
+        channels.append(v_tang)
+        slices["tangent"] = (at, at + 3)
+        at += 3
+    sample_uv = render_attr and mesh.v_tex is not None and mesh.v_tex.shape[0] == nv
+    if render_attr and not sample_uv:
+        raise ValueError(
+            "fused path requires per-primary-vertex UVs for attr rendering; "
+            "use the classic backend for split UV topologies"
+        )
+    if sample_uv:
+        channels.append(mesh.v_tex)
+        slices["uv"] = (at, at + 2)
+        at += 2
+
+    v_attr = jnp.concatenate(channels, axis=-1)
+    out = rasterize_gbuffer(
+        v_pos_clip, mesh.t_pos_idx, v_attr, (height, width), raster_config
+    )
+    mask = out.mask
+    a0, a1 = slices["pos"]
+    gb_pos = jnp.where(mask[..., None], out.attr[..., a0:a1], 0.0)
+    res = {"mask": mask, "pos": gb_pos}
+
+    if render_depth:
+        gb_pos_vs = transform_points_homo(gb_pos, cam.w2c)
+        gb_depth = -gb_pos_vs[..., 2]
+        b = gb_depth.shape[0]
+        mn = jnp.where(mask, gb_depth, jnp.inf).reshape(b, -1).min(axis=-1)[
+            :, None, None
+        ]
+        gb_depth = jnp.where(mask, gb_depth, mn)
+        if depth_normalization_strategy is not None:
+            gb_depth = depth_normalization_strategy(gb_depth, mask)
+        res["depth"] = gb_depth
+
+    if render_normal:
+        a0, a1 = slices["normal"]
+        gb_nrm = normalize(out.attr[..., a0:a1])
+        res["normal"] = jnp.where(mask[..., None], gb_nrm, normal_background)
+
+    if render_tangent:
+        a0, a1 = slices["tangent"]
+        gb_tang = normalize(out.attr[..., a0:a1])
+        res["tangent"] = jnp.where(mask[..., None], gb_tang, tangent_background)
+
+    if sample_uv:
+        a0, a1 = slices["uv"]
+        tex_c = out.attr[..., a0:a1]
+        tex = texture_override if texture_override is not None else mesh.texture
+        gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
+        gb_rgb = jnp.where(
+            mask[..., None], gb_rgb_fg, jnp.ones_like(gb_rgb_fg) * attr_background
+        )
+        if antialias_attr:
+            from .ops.antialias import antialias as aa
+
+            rast_like = jnp.concatenate(
+                [
+                    jnp.zeros_like(out.z)[..., None],
+                    jnp.zeros_like(out.z)[..., None],
+                    out.z[..., None],
+                    out.tri_id.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+            gb_rgb = aa(gb_rgb, rast_like)
+        res["attr"] = gb_rgb
+
+    return RenderOutput(**res)
+
+
 def render(
     mesh: TexturedMesh,
     cam: Camera,
@@ -111,6 +227,24 @@ def render(
     mesh = with_normals(mesh, compute_tangents=render_tangent)
 
     v_pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+
+    if raster_config.backend in ("fused_xla", "fused_pallas"):
+        return _render_fused(
+            mesh, cam, v_pos_clip, height, width,
+            render_attr=render_attr,
+            render_depth=render_depth,
+            render_normal=render_normal,
+            render_tangent=render_tangent,
+            antialias_attr=antialias_attr,
+            depth_normalization_strategy=depth_normalization_strategy,
+            attr_background=attr_background,
+            normal_background=normal_background,
+            tangent_background=tangent_background,
+            texture_override=texture_override,
+            texture_filter_mode=texture_filter_mode,
+            raster_config=raster_config,
+        )
+
     rast = rasterize(v_pos_clip, mesh.t_pos_idx, (height, width), raster_config)
     mask = rast[..., 3] > 0
 
