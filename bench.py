@@ -51,7 +51,7 @@ def main():
         far=10.0,
     )
 
-    cfg = RasterizerConfig(max_tris_per_tile=2048)
+    cfg = RasterizerConfig(max_tris_per_tile=1024, backend="fused_pallas", chunk=32)
     render_fn = functools.partial(
         render,
         height=HEIGHT,

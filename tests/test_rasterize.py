@@ -172,3 +172,50 @@ def test_pallas_backend_matches_xla(rng):
     b = rasterize(pos_clip, tri, (64, 128), RasterizerConfig(backend="pallas"))
     np.testing.assert_array_equal(np.asarray(a[..., 3]), np.asarray(b[..., 3]))
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sort_pairs_binning_matches_argsort():
+    """The fast pair-sort binning must produce identical per-tile triangle
+    SETS as the exact column-argsort (order may differ; winner selection is
+    min-id so sets are what matters)."""
+    import importlib
+
+    R = importlib.import_module("worldrenderer_tpu.ops.rasterize")
+    from worldrenderer_tpu.mesh import make_grid_mesh
+
+    verts, faces = make_grid_mesh(60)  # 6962 tris, small triangles
+    cam = get_camera(
+        elevation_deg=[35.0], distance=[3.0], fovy_deg=[50.0], azimuth_deg=[20.0]
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    W = H = 256
+    t = faces.shape[0]
+    setup = R._triangle_setup(pos_clip[0], jnp.asarray(faces, jnp.int32), W, H)
+    a = np.asarray(R._bin_triangles(setup, W, H, 32, 128, t))
+    b = np.asarray(
+        R._bin_triangles_sort_pairs(setup, W, H, 32, 128, t, 256, 256)
+    )
+    for tile in range(a.shape[0]):
+        sa = set(a[tile][a[tile] < t].tolist())
+        sb = set(b[tile][b[tile] < t].tolist())
+        assert sa == sb, f"tile {tile}: sets differ ({len(sa)} vs {len(sb)})"
+
+
+def test_rasterize_large_mesh_sort_pairs_vs_argsort():
+    """End-to-end agreement of both binning modes on a mesh big enough to
+    trigger the sort_pairs path."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+
+    verts, faces = make_grid_mesh(72)  # 10082 tris >= 4096 threshold
+    cam = get_camera(
+        elevation_deg=[35.0], distance=[3.0], fovy_deg=[50.0], azimuth_deg=[20.0]
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    a = np.asarray(
+        rasterize(pos_clip, tri, (256, 256), RasterizerConfig(bin_mode="argsort"))
+    )
+    b = np.asarray(
+        rasterize(pos_clip, tri, (256, 256), RasterizerConfig(bin_mode="sort_pairs"))
+    )
+    np.testing.assert_allclose(a, b, atol=1e-5)

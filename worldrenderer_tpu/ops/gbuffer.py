@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from .rasterize import (
     DEFAULT_CONFIG,
     RasterizerConfig,
-    _bin_triangles,
+    _bin_dispatch,
     _triangle_setup,
     _BIG_NEG,
 )
@@ -155,7 +155,7 @@ def _gbuffer_single(
 
     setup = _triangle_setup(pos_clip, tri, width, height)
     max_per_tile = config.max_tris_per_tile or t_total
-    ids = _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
+    ids = _bin_dispatch(setup, width, height, tile_h, tile_w, max_per_tile, config)
 
     # Constant id plane: evaluating it yields the global triangle id at
     # every pixel (alpha = beta = 0, gamma = id) — winner identity rides
