@@ -51,7 +51,9 @@ def main():
         far=10.0,
     )
 
-    cfg = RasterizerConfig(max_tris_per_tile=1024, backend="fused_pallas", chunk=32)
+    cfg = RasterizerConfig(
+        tile_h=16, max_tris_per_tile=1024, backend="fused_pallas", chunk=64
+    )
     render_fn = functools.partial(
         render,
         height=HEIGHT,

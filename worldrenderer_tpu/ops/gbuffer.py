@@ -75,11 +75,14 @@ def _gather_tile_rows(
     gamma = gamma.at[..., 0].set(jnp.where(v, gamma[..., 0], _BIG_NEG))
     planes = jnp.concatenate([planes[..., :2], gamma[..., None]], axis=-1)
     n_tiles, k, r, _ = planes.shape
-    return planes.transpose(0, 2, 1, 3).reshape(n_tiles, r * k, 3)
+    # Transposed (coef-major) layout: minor dim R*K is lane-aligned. A
+    # (rows, 3) minor-dim-3 layout would pad 3 -> 128 lanes in VMEM and
+    # inflate the kernel's working set ~42x.
+    return planes.transpose(0, 3, 2, 1).reshape(n_tiles, 3, r * k)
 
 
 def _zattr_tile_xla(
-    coeffs: jnp.ndarray,  # (R*K, 3)
+    coeffs: jnp.ndarray,  # (3, R*K) coef-major
     n_attr: int,
     tile_h: int,
     tile_w: int,
@@ -91,7 +94,7 @@ def _zattr_tile_xla(
     flow through the same matmul + min/where machinery — no index vectors.
     """
     r = 5 + n_attr + 1
-    k = coeffs.shape[0] // r
+    k = coeffs.shape[1] // r
     c = min(chunk, k)
     n_chunks = -(-k // c)
     p = tile_h * tile_w
@@ -102,16 +105,18 @@ def _zattr_tile_xla(
 
     pad = n_chunks * c - k
     if pad:
-        pad_block = jnp.zeros((r, pad, 3), coeffs.dtype)
-        pad_block = pad_block.at[0, :, 2].set(_BIG_NEG)
-        coeffs = jnp.concatenate([coeffs.reshape(r, k, 3), pad_block], axis=1)
+        pad_block = jnp.zeros((3, r, pad), coeffs.dtype)
+        pad_block = pad_block.at[2, 0, :].set(_BIG_NEG)
+        coeffs = jnp.concatenate([coeffs.reshape(3, r, k), pad_block], axis=2)
     else:
-        coeffs = coeffs.reshape(r, k, 3)
+        coeffs = coeffs.reshape(3, r, k)
 
     def body(carry, coeffs_c):
         zbuf, idbuf, vbuf = carry  # (P,), (P,), (A+1, P)
-        e = jnp.dot(
-            coeffs_c.reshape(r * c, 3), b_mat, preferred_element_type=jnp.float32
+        e = jax.lax.dot_general(
+            coeffs_c.reshape(3, r * c), b_mat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         ).reshape(r, c, p)
         z = e[3]
         idrow = e[4]
@@ -133,7 +138,7 @@ def _zattr_tile_xla(
         jnp.full((p,), jnp.float32(_BIG_SLOT), jnp.float32),
         jnp.zeros((n_attr + 1, p), jnp.float32),
     )
-    xs = coeffs.reshape(r, n_chunks, c, 3).transpose(1, 0, 2, 3)
+    xs = coeffs.reshape(3, r, n_chunks, c).transpose(2, 0, 1, 3)
     (zbuf, idbuf, vbuf), _ = jax.lax.scan(body, init, xs)
     return zbuf, idbuf, vbuf
 

@@ -41,8 +41,13 @@ def _kernel(coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals, tile_h, tile_w):
         c0 = ci * c
 
         def plane(block):
-            a = coeffs_ref[0, pl.ds(block * k + c0, c), :]
-            return jnp.dot(a, b_mat, preferred_element_type=jnp.float32)
+            # coef-major slice (3, C); contract the 3-dim against b_mat.
+            a_t = coeffs_ref[0, :, pl.ds(block * k + c0, c)]
+            return jax.lax.dot_general(
+                a_t, b_mat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         e0 = plane(0)
         e1 = plane(1)
@@ -81,24 +86,24 @@ def _kernel(coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals, tile_h, tile_w):
 
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def zattr_tiles_pallas(
-    coeffs: jnp.ndarray,  # (n_tiles, R*K, 3) with R = 5 + n_vals
+    coeffs: jnp.ndarray,  # (n_tiles, 3, R*K) coef-major, R = 5 + n_vals
     n_vals: int,
     tile_h: int,
     tile_w: int,
     chunk: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (z, id (f32 raw, BIG=bg), vals) per tile."""
-    n_tiles, rk, _ = coeffs.shape
+    n_tiles, _, rk = coeffs.shape
     r = 5 + n_vals
     k = rk // r
     c = min(chunk, k)
     pad = (-k) % c
     if pad:
-        pad_block = jnp.zeros((n_tiles, r, pad, 3), coeffs.dtype)
-        pad_block = pad_block.at[:, 0, :, 2].set(_BIG_NEG)
+        pad_block = jnp.zeros((n_tiles, 3, r, pad), coeffs.dtype)
+        pad_block = pad_block.at[:, 2, 0, :].set(_BIG_NEG)
         coeffs = jnp.concatenate(
-            [coeffs.reshape(n_tiles, r, k, 3), pad_block], axis=2
-        ).reshape(n_tiles, r * (k + pad), 3)
+            [coeffs.reshape(n_tiles, 3, r, k), pad_block], axis=3
+        ).reshape(n_tiles, 3, r * (k + pad))
         k += pad
 
     p = tile_h * tile_w
@@ -110,7 +115,7 @@ def zattr_tiles_pallas(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, r * k, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, r * k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

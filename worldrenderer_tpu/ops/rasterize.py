@@ -300,7 +300,9 @@ def _gather_tile_coeffs(
     Invalid/padded triangles get an edge-0 constant of -BIG, so the
     ``e0 >= 0`` coverage test excludes them with no separate mask.
 
-    Returns coeffs (n_tiles, 4K, 3) laid out as [e0|e1|e2|z] blocks of K."""
+    Returns coeffs (n_tiles, 3, 4K) coef-major ([e0|e1|e2|z] blocks of K
+    along the minor dim — lane-aligned; a minor-dim-3 layout would pad
+    3 -> 128 lanes in VMEM)."""
     planes = setup.planes[ids]  # (n_tiles, K, 4, 3)
     ox = tile_origin[:, 0][:, None, None]
     oy = tile_origin[:, 1][:, None, None]
@@ -309,11 +311,11 @@ def _gather_tile_coeffs(
     gamma = gamma.at[..., 0].set(jnp.where(valid, gamma[..., 0], _BIG_NEG))
     planes = jnp.concatenate([planes[..., :2], gamma[..., None]], axis=-1)
     n_tiles, k = ids.shape
-    return planes.transpose(0, 2, 1, 3).reshape(n_tiles, 4 * k, 3)
+    return planes.transpose(0, 3, 2, 1).reshape(n_tiles, 3, 4 * k)
 
 
 def _raster_zid_tile(
-    coeffs: jnp.ndarray,  # (4K, 3) tile-local plane coefficients
+    coeffs: jnp.ndarray,  # (3, 4K) coef-major tile-local plane coefficients
     ids: jnp.ndarray,  # (K,) global triangle ids
     tile_h: int,
     tile_w: int,
@@ -338,18 +340,21 @@ def _raster_zid_tile(
     pad = n_chunks * c - k
     kp = k + pad
     if pad:
-        pad_block = jnp.zeros((4, pad, 3), coeffs.dtype)
-        pad_block = pad_block.at[0, :, 2].set(_BIG_NEG)
-        coeffs = jnp.concatenate([coeffs.reshape(4, k, 3), pad_block], axis=1)
+        pad_block = jnp.zeros((3, 4, pad), coeffs.dtype)
+        pad_block = pad_block.at[2, 0, :].set(_BIG_NEG)
+        coeffs = jnp.concatenate([coeffs.reshape(3, 4, k), pad_block], axis=2)
         ids = jnp.pad(ids, (0, pad), constant_values=0)
     else:
-        coeffs = coeffs.reshape(4, k, 3)
+        coeffs = coeffs.reshape(3, 4, k)
 
     def body(carry, inputs):
         zbuf, idbuf = carry
-        coeffs_c, ids_c = inputs  # (4, C, 3), (C,)
-        a_mat = coeffs_c.reshape(4 * c, 3)
-        e = jnp.dot(a_mat, b_mat, preferred_element_type=jnp.float32)  # (4C, P)
+        coeffs_c, ids_c = inputs  # (3, 4, C), (C,)
+        e = jax.lax.dot_general(
+            coeffs_c.reshape(3, 4 * c), b_mat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (4C, P)
         e = e.reshape(4, c, p)
         z = e[3]
         cov = (
@@ -370,7 +375,7 @@ def _raster_zid_tile(
 
     init = (jnp.full((p,), jnp.inf, jnp.float32), jnp.zeros((p,), jnp.int32))
     xs = (
-        coeffs.reshape(4, n_chunks, c, 3).transpose(1, 0, 2, 3),
+        coeffs.reshape(3, 4, n_chunks, c).transpose(2, 0, 1, 3),
         ids.reshape(n_chunks, c),
     )
     (zbuf, idbuf), _ = jax.lax.scan(body, init, xs)

@@ -48,8 +48,12 @@ def _kernel(coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h, tile_w):
         c0 = ci * c
 
         def plane(block):
-            a = coeffs_ref[0, pl.ds(block * k + c0, c), :]  # (C, 3)
-            return jnp.dot(a, b_mat, preferred_element_type=jnp.float32)
+            a_t = coeffs_ref[0, :, pl.ds(block * k + c0, c)]  # (3, C)
+            return jax.lax.dot_general(
+                a_t, b_mat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
         e0 = plane(0)
         e1 = plane(1)
@@ -92,17 +96,17 @@ def raster_zid_tiles_pallas(
     chunk: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (z (n_tiles, th, tw) f32, id+1 map (n_tiles, th, tw) i32)."""
-    n_tiles, four_k, _ = coeffs.shape
+    n_tiles, _, four_k = coeffs.shape
     k = four_k // 4
     c = min(chunk, k)
     pad = (-k) % c
     if pad:
         # Padded slots: edge-0 constant -BIG -> never covered.
-        pad_block = jnp.zeros((n_tiles, 4, pad, 3), coeffs.dtype)
-        pad_block = pad_block.at[:, 0, :, 2].set(-_BIG_Z)
+        pad_block = jnp.zeros((n_tiles, 3, 4, pad), coeffs.dtype)
+        pad_block = pad_block.at[:, 2, 0, :].set(-_BIG_Z)
         coeffs = jnp.concatenate(
-            [coeffs.reshape(n_tiles, 4, k, 3), pad_block], axis=2
-        ).reshape(n_tiles, 4 * (k + pad), 3)
+            [coeffs.reshape(n_tiles, 3, 4, k), pad_block], axis=3
+        ).reshape(n_tiles, 3, 4 * (k + pad))
         k += pad
 
     p = tile_h * tile_w
@@ -113,7 +117,7 @@ def raster_zid_tiles_pallas(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 4 * k, 3), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, 4 * k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

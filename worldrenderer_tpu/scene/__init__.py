@@ -9,6 +9,7 @@ mesh.py:348-526). All host-side — nothing here enters the jitted path.
 from .gltf import load_glb, save_glb, replace_glb_texture
 from .camera_json import build_camera, load_camera_from_json, save_camera_json
 from .blender import export_blend_to_glb, export_camera_json
+from .blender_depth import export_depth_frames
 from .keyframe import extract_keyframes, get_keyframes
 from .video import (
     export_frames,
@@ -26,6 +27,7 @@ __all__ = [
     "save_camera_json",
     "export_blend_to_glb",
     "export_camera_json",
+    "export_depth_frames",
     "extract_keyframes",
     "get_keyframes",
     "export_frames",
