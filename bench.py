@@ -51,8 +51,11 @@ def main():
         far=10.0,
     )
 
+    # K chosen above the measured worst-case per-tile count (1248 for this
+    # mesh/res/tiling); the guard below fails loudly if a config change
+    # ever makes the cap lossy.
     cfg = RasterizerConfig(
-        tile_h=16, max_tris_per_tile=1024, backend="fused_pallas", chunk=64
+        tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128
     )
     render_fn = functools.partial(
         render,
@@ -82,12 +85,16 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(R_INNER))
         return acc
 
-    # Correctness guard: capped binning must match exact binning.
+    # Correctness guard: capped binning must match exact binning at the
+    # benchmarked resolution.
     exact = render(
         mesh, cam, HEIGHT, WIDTH, render_attr=False, render_depth=False,
         render_normal=True,
     )
-    capped = render_fn(mesh, cam)
+    capped = render(
+        mesh, cam, HEIGHT, WIDTH, render_attr=False, render_depth=False,
+        render_normal=True, raster_config=cfg,
+    )
     mask_diff = float(
         jnp.mean(jnp.abs(capped.mask.astype(jnp.float32) - exact.mask.astype(jnp.float32)))
     )

@@ -42,7 +42,9 @@ def _kernel(coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals, tile_h, tile_w):
 
         def plane(block):
             # coef-major slice (3, C); contract the 3-dim against b_mat.
-            a_t = coeffs_ref[0, :, pl.ds(block * k + c0, c)]
+            # Lane-dim dynamic slices must be 128-aligned (c, k are
+            # multiples of 128 by construction).
+            a_t = coeffs_ref[0, :, pl.ds(pl.multiple_of(block * k + c0, 128), c)]
             return jax.lax.dot_general(
                 a_t, b_mat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -96,7 +98,8 @@ def zattr_tiles_pallas(
     n_tiles, _, rk = coeffs.shape
     r = 5 + n_vals
     k = rk // r
-    c = min(chunk, k)
+    # Lane-dim slicing alignment: chunk and K must be multiples of 128.
+    c = max(128, (chunk // 128) * 128)
     pad = (-k) % c
     if pad:
         pad_block = jnp.zeros((n_tiles, 3, r, pad), coeffs.dtype)

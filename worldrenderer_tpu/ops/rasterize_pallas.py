@@ -48,7 +48,8 @@ def _kernel(coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h, tile_w):
         c0 = ci * c
 
         def plane(block):
-            a_t = coeffs_ref[0, :, pl.ds(block * k + c0, c)]  # (3, C)
+            # (3, C); lane-dim slice offsets are 128-aligned by construction.
+            a_t = coeffs_ref[0, :, pl.ds(pl.multiple_of(block * k + c0, 128), c)]
             return jax.lax.dot_general(
                 a_t, b_mat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -98,7 +99,8 @@ def raster_zid_tiles_pallas(
     """Returns (z (n_tiles, th, tw) f32, id+1 map (n_tiles, th, tw) i32)."""
     n_tiles, _, four_k = coeffs.shape
     k = four_k // 4
-    c = min(chunk, k)
+    # Lane-dim slicing alignment: chunk and K must be multiples of 128.
+    c = max(128, (chunk // 128) * 128)
     pad = (-k) % c
     if pad:
         # Padded slots: edge-0 constant -BIG -> never covered.

@@ -57,6 +57,7 @@ def project_and_render(
     uv_size: int = 2048,
     frame_step: int = 1,
     max_frames: int = 0,
+    camera_json=None,
     next_camera_json=None,
     axis_convert: bool = False,
     uv_unwarp: bool = True,
@@ -75,17 +76,18 @@ def project_and_render(
     ifproject = video_path is not None
     if mesh_path.suffix == ".blend":
         glb_path = mesh_path.with_suffix(".glb")
-        camera_json = output_dir / "camera.json"
+        if camera_json is None:
+            camera_json = output_dir / "camera.json"
+            export_camera_json(mesh_path, camera_json, blender_bin)
         export_blend_to_glb(mesh_path, glb_path, blender_bin)
-        export_camera_json(mesh_path, camera_json, blender_bin)
     else:
         glb_path = mesh_path
-        camera_json = output_dir / "camera.json"
-        if not camera_json.exists():
+        if camera_json is None or not Path(camera_json).exists():
             raise ValueError(
-                "non-.blend input requires a camera.json in the output dir "
-                "(or pass a .blend for automatic export)"
+                "non-.blend input requires camera_json "
+                "(pass a .blend for automatic export)"
             )
+    camera_json = Path(camera_json)
 
     video_h, video_w = height or 512, width or 512
     num_views_all = max_frames if max_frames > 0 else 1
@@ -241,6 +243,12 @@ def parse_args(argv=None):
     parser.add_argument("--width", type=int, default=None)
     parser.add_argument("--no-uv-unwarp", action="store_true")
     parser.add_argument(
+        "--camera-json",
+        type=str,
+        default=None,
+        help="pre-exported camera trajectory (required for non-.blend input)",
+    )
+    parser.add_argument(
         "--keyframes",
         action="store_true",
         help="project only from auto-selected trajectory keyframes "
@@ -263,6 +271,7 @@ def main(argv=None):
         uv_size=args.uv_size,
         frame_step=max(1, args.frame_step),
         max_frames=args.max_frames,
+        camera_json=args.camera_json,
         next_camera_json=args.next_camera_json,
         axis_convert=args.axis_convert,
         uv_unwarp=not args.no_uv_unwarp,
