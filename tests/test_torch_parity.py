@@ -72,3 +72,16 @@ def test_uv_texture_sampling_matches_torch_grid_sample(rng):
         mode="bilinear", align_corners=False, padding_mode="border",
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, t_out, atol=2e-6)
+
+
+def test_grid_sample_bicubic_matches_torch(rng):
+    image = rng.random((1, 11, 13, 3)).astype(np.float32)
+    grid = (rng.random((1, 6, 7, 2)).astype(np.float32) * 1.8 - 0.9)
+    ours = np.asarray(
+        grid_sample(jnp.asarray(image), jnp.asarray(grid), mode="bicubic")
+    )
+    ref = torch.nn.functional.grid_sample(
+        torch.tensor(image).permute(0, 3, 1, 2), torch.tensor(grid),
+        mode="bicubic", align_corners=False, padding_mode="zeros",
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)

@@ -156,11 +156,12 @@ def compute_warp_field(
             delta = stage(delta0, int(res), optim_step_per_res)
             delta0 = delta
 
-        # Final full-resolution warp (reference warp.py:249-280).
+        # Final full-resolution warp, bicubic as in the reference
+        # (warp.py:249-280, F.grid_sample mode="bicubic").
         res_full = src.shape[0]
         verts = verts0 + movable * delta0
         coords = _grid_pixel_coords(verts, n_grid, res_full)[None]
-        warped = grid_sample(src[None], coords, mode="bilinear")[0]
+        warped = grid_sample(src[None], coords, mode="bicubic")[0]
         return jnp.clip(warped, 0.0, 1.0)
 
     return jax.vmap(warp_one)(src_images, tgt_images)

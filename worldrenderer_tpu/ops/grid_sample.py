@@ -48,6 +48,9 @@ def grid_sample(
         valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
         return jax.vmap(gather)(image, iy, ix, valid)
 
+    if mode == "bicubic":
+        return _bicubic(image, x, y, gather)
+
     if mode != "bilinear":
         raise NotImplementedError(f"grid_sample mode {mode!r}")
 
@@ -65,4 +68,33 @@ def grid_sample(
             t = jax.vmap(gather)(image, iy, ix, valid)
             wgt = ((fx if dx_ else 1.0 - fx) * (fy if dy_ else 1.0 - fy))[..., None]
             out = out + t * wgt
+    return out
+
+
+def _cubic_weights(t: jnp.ndarray, a: float = -0.75):
+    """Cubic convolution weights for taps at offsets -1, 0, 1, 2 relative to
+    floor(x) (torch bicubic grid_sample kernel, a = -0.75)."""
+    t2 = t * t
+    t3 = t2 * t
+    w_m1 = a * (t3 - 2 * t2 + t)
+    w_0 = (a + 2) * t3 - (a + 3) * t2 + 1
+    w_1 = -(a + 2) * t3 + (2 * a + 3) * t2 - a * t
+    w_2 = a * (t2 - t3)
+    return (w_m1, w_0, w_1, w_2)
+
+
+def _bicubic(image, x, y, gather):
+    n, h, w = image.shape[0], image.shape[1], image.shape[2]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    wx = _cubic_weights(x - x0.astype(jnp.float32))
+    wy = _cubic_weights(y - y0.astype(jnp.float32))
+    out = 0.0
+    for j, wyj in enumerate(wy):
+        for i, wxi in enumerate(wx):
+            ix = x0 + (i - 1)
+            iy = y0 + (j - 1)
+            valid = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            t = jax.vmap(gather)(image, iy, ix, valid)
+            out = out + t * (wxi * wyj)[..., None]
     return out
