@@ -160,7 +160,9 @@ def _gbuffer_single(
 
     setup = _triangle_setup(pos_clip, tri, width, height)
     max_per_tile = config.max_tris_per_tile or t_total
-    ids = _bin_dispatch(setup, width, height, tile_h, tile_w, max_per_tile, config)
+    ids, counts = _bin_dispatch(
+        setup, width, height, tile_h, tile_w, max_per_tile, config
+    )
 
     # Constant id plane: evaluating it yields the global triangle id at
     # every pixel (alpha = beta = 0, gamma = id) — winner identity rides
@@ -186,7 +188,7 @@ def _gbuffer_single(
         from .gbuffer_pallas import zattr_tiles_pallas
 
         z_t, id_t, v_t = zattr_tiles_pallas(
-            coeffs, n_attr + 1, tile_h, tile_w, config.chunk
+            coeffs, counts, n_attr + 1, tile_h, tile_w, config.chunk
         )
     else:
         z_t, id_t, v_t = jax.vmap(

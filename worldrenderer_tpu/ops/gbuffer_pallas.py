@@ -25,10 +25,13 @@ _BIG_SLOT = 2**30
 _BIG_NEG = -3.0e38
 
 
-def _kernel(coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals, tile_h, tile_w):
+def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
+            tile_h, tile_w):
     p = tile_h * tile_w
     r = 5 + n_vals
-    n_chunks = k // c
+    # Dynamic per-tile trip count (scalar-prefetched): most tiles have far
+    # fewer live triangles than K — skip the padded tail entirely.
+    n_chunks = nchunks_ref[pl.program_id(0)]
 
     flat = jax.lax.broadcasted_iota(jnp.int32, (3, p), 1)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (3, p), 0)
@@ -86,9 +89,10 @@ def _kernel(coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals, tile_h, tile_w):
     v_out[0, :, :] = vbuf
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def zattr_tiles_pallas(
     coeffs: jnp.ndarray,  # (n_tiles, 3, R*K) coef-major, R = 5 + n_vals
+    counts: jnp.ndarray,  # (n_tiles,) live-entry counts (contiguous prefix)
     n_vals: int,
     tile_h: int,
     tile_w: int,
@@ -109,26 +113,32 @@ def zattr_tiles_pallas(
         ).reshape(n_tiles, 3, r * (k + pad))
         k += pad
 
+    n_chunks = jnp.ceil(counts.astype(jnp.float32) / c).astype(jnp.int32)
+
     p = tile_h * tile_w
     kernel = functools.partial(
         _kernel, k=k, c=c, n_vals=n_vals, tile_h=tile_h, tile_w=tile_w
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
-    z, idm, vals = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 3, r * k), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, r * k), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_vals, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, n_vals, p), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    z, idm, vals = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
@@ -140,7 +150,7 @@ def zattr_tiles_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coeffs)
+    )(n_chunks, coeffs)
     return (
         z.reshape(n_tiles, tile_h, tile_w),
         idm.reshape(n_tiles, tile_h, tile_w),

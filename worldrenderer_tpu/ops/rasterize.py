@@ -273,17 +273,21 @@ def _bin_triangles_sort_pairs(
     j = jnp.arange(k, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(starts[:, None] + j, 0, keys.shape[0] - 1)
     ids = jnp.where(j < counts[:, None], s_tri[gather_idx], t_total)
+    entry_counts = jnp.minimum(counts, k).astype(jnp.int32)
 
-    # Huge triangles: top-n_huge by earliest index, appended to every tile.
+    # Huge triangles: top-n_huge by earliest index, PREPENDED to every tile
+    # (a prefix layout keeps all live entries contiguous so kernels can run
+    # a dynamic, per-tile trip count and skip the padded tail).
     if n_huge > 0:
         g = min(n_huge, t_total)
         prio = jnp.where(huge & on_screen, t_total - tri_idx, 0)
         top_vals, top_idx = jax.lax.top_k(prio, g)
         huge_ids = jnp.where(top_vals > 0, top_idx.astype(jnp.int32), t_total)
         ids = jnp.concatenate(
-            [ids, jnp.broadcast_to(huge_ids[None], (n_tiles, g))], axis=1
+            [jnp.broadcast_to(huge_ids[None], (n_tiles, g)), ids], axis=1
         )
-    return ids
+        entry_counts = entry_counts + g
+    return ids, entry_counts
 
 
 _BIG_NEG = -3.0e38
@@ -393,6 +397,8 @@ def _bin_dispatch(
 ) -> jnp.ndarray:
     """Choose the binning strategy. sort_pairs needs tile*T to fit int32;
     fall back to the column argsort otherwise."""
+    """Returns (ids (n_tiles, K') padded with T, entry_counts (n_tiles,))
+    where live entries occupy a contiguous prefix of each tile's list."""
     n_tiles = (-(-height // tile_h)) * (-(-width // tile_w))
     t_total = setup.valid.shape[0] - 1
     if (
@@ -404,7 +410,9 @@ def _bin_dispatch(
             setup, width, height, tile_h, tile_w, max_per_tile,
             config.bin_span_px, config.bin_huge,
         )
-    return _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
+    ids = _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
+    counts = jnp.sum(ids < t_total, axis=1).astype(jnp.int32)
+    return ids, counts
 
 
 def _resolve_uv(
@@ -456,7 +464,9 @@ def _rasterize_single(
 
     setup = _triangle_setup(pos_clip, tri, width, height)
     max_per_tile = config.max_tris_per_tile or t_total
-    ids = _bin_dispatch(setup, width, height, tile_h, tile_w, max_per_tile, config)
+    ids, counts = _bin_dispatch(
+        setup, width, height, tile_h, tile_w, max_per_tile, config
+    )
 
     tile_ix = jnp.arange(n_ty * n_tx, dtype=jnp.int32)
     ty0 = (tile_ix // n_tx * tile_h).astype(jnp.float32)
@@ -469,7 +479,7 @@ def _rasterize_single(
         from .rasterize_pallas import raster_zid_tiles_pallas
 
         z_tiles, id_tiles = raster_zid_tiles_pallas(
-            coeffs, ids, tile_h, tile_w, config.chunk
+            coeffs, ids, counts, tile_h, tile_w, config.chunk
         )
     else:
         z_tiles, id_tiles = jax.vmap(

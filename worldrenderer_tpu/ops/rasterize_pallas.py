@@ -32,9 +32,11 @@ _BIG_Z = 3.0e38
 _BIG_SLOT = 2**30
 
 
-def _kernel(coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h, tile_w):
+def _kernel(nchunks_ref, coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h,
+            tile_w):
     p = tile_h * tile_w
-    n_chunks = k // c
+    # Dynamic per-tile trip count (scalar-prefetched).
+    n_chunks = nchunks_ref[pl.program_id(0)]
 
     # B matrix: rows [lx + 0.5, ly + 0.5, 1] over the flattened tile.
     flat = jax.lax.broadcasted_iota(jnp.int32, (3, p), 1)
@@ -88,10 +90,11 @@ def _kernel(coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h, tile_w):
     slot_out_ref[0, :, :] = slotbuf
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def raster_zid_tiles_pallas(
-    coeffs: jnp.ndarray,  # (n_tiles, 4K, 3) f32 tile-rebased planes
+    coeffs: jnp.ndarray,  # (n_tiles, 3, 4K) coef-major tile-rebased planes
     ids: jnp.ndarray,  # (n_tiles, K) int32 (padded slots may be anything)
+    counts: jnp.ndarray,  # (n_tiles,) live-entry counts (contiguous prefix)
     tile_h: int,
     tile_w: int,
     chunk: int,
@@ -112,22 +115,27 @@ def raster_zid_tiles_pallas(
         k += pad
 
     p = tile_h * tile_w
+    n_chunks = jnp.ceil(counts.astype(jnp.float32) / c).astype(jnp.int32)
     kernel = functools.partial(_kernel, k=k, c=c, tile_h=tile_h, tile_w=tile_w)
     # Interpret mode keeps the kernel testable on the CPU golden-test mesh.
     interpret = jax.default_backend() not in ("tpu", "axon")
-    z, slot = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 3, 4 * k), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 3, 4 * k), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda i, nc: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    z, slot = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1, p), jnp.int32),
@@ -138,7 +146,7 @@ def raster_zid_tiles_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(coeffs)
+    )(n_chunks, coeffs)
 
     z = z.reshape(n_tiles, tile_h, tile_w)
     slot = slot.reshape(n_tiles, tile_h, tile_w)
