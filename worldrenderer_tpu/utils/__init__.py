@@ -24,6 +24,12 @@ from .misc import (
 )
 from .logging import get_logger, set_verbosity
 from .saving import SaverMixin
+from .debug import annotate, check_finite, debug_nans, trace
+from .callbacks import (
+    CodeSnapshotCallback,
+    ConfigSnapshotCallback,
+    ProgressCallback,
+)
 
 __all__ = [
     "ExperimentConfig",
@@ -46,4 +52,11 @@ __all__ = [
     "get_logger",
     "set_verbosity",
     "SaverMixin",
+    "annotate",
+    "check_finite",
+    "debug_nans",
+    "trace",
+    "CodeSnapshotCallback",
+    "ConfigSnapshotCallback",
+    "ProgressCallback",
 ]
