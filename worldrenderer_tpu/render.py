@@ -114,9 +114,12 @@ def _render_fused(
     from .ops.gbuffer import rasterize_gbuffer
 
     nv = mesh.v_pos.shape[0]
-    channels = [mesh.v_pos]
-    slices = {"pos": (0, 3)}
-    at = 3
+    # World position is derived by unprojecting the depth plane (pure math,
+    # exact for points on the triangle plane) instead of carrying three
+    # attribute-plane rows — 25% less gather + matmul in the hot kernel.
+    channels = []
+    slices = {}
+    at = 0
 
     if render_normal:
         v_nrm = mesh.v_nrm
@@ -143,13 +146,28 @@ def _render_fused(
         slices["uv"] = (at, at + 2)
         at += 2
 
-    v_attr = jnp.concatenate(channels, axis=-1)
+    v_attr = jnp.concatenate(channels, axis=-1) if channels else None
     out = rasterize_gbuffer(
         v_pos_clip, mesh.t_pos_idx, v_attr, (height, width), raster_config
     )
     mask = out.mask
-    a0, a1 = slices["pos"]
-    gb_pos = jnp.where(mask[..., None], out.attr[..., a0:a1], 0.0)
+
+    # Unproject NDC (x, y, z) through the inverse MVP to world position.
+    inv_mvp = jnp.linalg.inv(cam.mvp_mtx)  # (B, 4, 4)
+    px = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
+    py = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    ndc = jnp.stack(
+        [
+            jnp.broadcast_to(px[None, None, :], out.z.shape),
+            jnp.broadcast_to(py[None, :, None], out.z.shape),
+            out.z,
+            jnp.ones_like(out.z),
+        ],
+        axis=-1,
+    )  # (B, H, W, 4)
+    world_h = jnp.einsum("bhwj,bij->bhwi", ndc, inv_mvp)
+    w_div = jnp.where(jnp.abs(world_h[..., 3:4]) < 1e-20, 1e-20, world_h[..., 3:4])
+    gb_pos = jnp.where(mask[..., None], world_h[..., :3] / w_div, 0.0)
     res = {"mask": mask, "pos": gb_pos}
 
     if render_depth:
