@@ -97,3 +97,12 @@ def test_saver_mixin(tmp_path, rng):
     assert os.path.exists(p)
     p = s.save_npz("arr.npz", x=img)
     assert os.path.exists(p)
+
+
+def test_saver_video_assembly(tmp_path, rng):
+    s = SaverMixin()
+    s.set_save_dir(str(tmp_path))
+    for i in range(5):
+        s.save_rgb_image(f"seq/frame_{i:03d}.png", rng.random((16, 16, 3)).astype(np.float32))
+    p = s.save_img_sequence("anim", "seq", r"frame_\d+\.png", save_format="gif", fps=5)
+    assert os.path.exists(p) and p.endswith(".gif")
