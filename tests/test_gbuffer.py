@@ -114,3 +114,34 @@ def test_render_fused_matches_classic(backend):
     np.testing.assert_allclose(
         np.asarray(a.attr)[m], np.asarray(b.attr)[m], atol=2e-2
     )
+
+
+@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
+def test_fused_flat_binning_large_mesh(backend):
+    """Meshes above the sort_pairs threshold route through the flat
+    contiguous-slice gather — must match the classic exact path."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.render import render
+
+    verts, faces = make_grid_mesh(72)  # 10082 tris
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+    cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    a = render(mesh, cam, 128, 128, render_attr=False, render_depth=True,
+               render_normal=True)
+    b = render(
+        mesh, cam, 128, 128, render_attr=False, render_depth=True,
+        render_normal=True,
+        raster_config=RasterizerConfig(backend=backend),
+    )
+    m = np.asarray(a.mask)
+    np.testing.assert_array_equal(m, np.asarray(b.mask))
+    np.testing.assert_allclose(np.asarray(a.pos)[m], np.asarray(b.pos)[m], atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(a.normal)[m], np.asarray(b.normal)[m], atol=2e-3
+    )

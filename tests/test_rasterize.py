@@ -192,7 +192,7 @@ def test_sort_pairs_binning_matches_argsort():
     t = faces.shape[0]
     setup = R._triangle_setup(pos_clip[0], jnp.asarray(faces, jnp.int32), W, H)
     a = np.asarray(R._bin_triangles(setup, W, H, 32, 128, t))
-    b_ids, b_counts = R._bin_triangles_sort_pairs(setup, W, H, 32, 128, t, 256, 256)
+    b_ids, b_counts = R._bin_triangles_sort_pairs(setup, W, H, 32, 128, t, 4, 2, 256)
     b = np.asarray(b_ids)
     # live entries are a contiguous prefix of length counts
     counts = np.asarray(b_counts)

@@ -1,6 +1,7 @@
 """Compute ops: rasterization, interpolation, sampling, image ops, solvers."""
 
 from .antialias import antialias
+from .gbuffer import GBufferOutput, rasterize_gbuffer
 from .grid_sample import grid_sample
 from .image import (
     batch_dilate,
@@ -31,6 +32,8 @@ from .texture import texture
 __all__ = [
     "RasterizerConfig",
     "rasterize",
+    "rasterize_gbuffer",
+    "GBufferOutput",
     "interpolate",
     "texture",
     "grid_sample",

@@ -31,6 +31,7 @@ from .rasterize import (
     DEFAULT_CONFIG,
     RasterizerConfig,
     _bin_dispatch,
+    _bin_flat,
     _triangle_setup,
     _BIG_NEG,
 )
@@ -58,6 +59,78 @@ def _attr_planes(setup, tri: jnp.ndarray, v_attr: jnp.ndarray) -> jnp.ndarray:
     den = jnp.einsum("ti,tic->tc", inv_w, eplanes)[:, None, :]  # (T, 1, 3)
     planes = jnp.concatenate([num, den], axis=1)  # (T, A+1, 3)
     return jnp.pad(planes, [(0, 1), (0, 0), (0, 0)])
+
+
+def _gather_tile_rows_flat(
+    all_planes: jnp.ndarray,  # (T+1, R, 3)
+    valid: jnp.ndarray,  # (T+1,)
+    flat,  # _bin_flat output
+    tile_origin: jnp.ndarray,  # (n_tiles, 2)
+    k_cap: int,
+) -> tuple:
+    """Contiguous-slice coefficient expansion: ONE gather over the sorted
+    flat pair list (~live entries only), per-entry tile rebase, then cheap
+    vmapped dynamic slices build the dense per-tile blocks — replacing the
+    (n_tiles, K)-row gather that dominated the profile (57ms of 85ms).
+
+    Returns (coeffs (n_tiles, 3, R*(G+K)), counts (n_tiles,))."""
+    s_tri, s_tile, starts, counts, huge_ids = flat
+    n_tiles = tile_origin.shape[0]
+    r = all_planes.shape[1]
+
+    # Flat entry planes, rebased to each entry's own tile origin.
+    ep = all_planes[s_tri]  # (L, R, 3) — THE gather, live entries + sentinel tail
+    org = tile_origin[jnp.clip(s_tile, 0, n_tiles - 1)]  # (L, 2)
+    gamma = ep[..., 2] + ep[..., 0] * org[:, 0:1] + ep[..., 1] * org[:, 1:2]
+    v = valid[s_tri] & (s_tile < n_tiles)
+    gamma = gamma.at[:, 0].set(jnp.where(v, gamma[:, 0], _BIG_NEG))
+    ep = jnp.concatenate([ep[..., :2], gamma[..., None]], axis=-1)
+    flat_coeffs = ep.transpose(2, 1, 0)  # (3, R, L)
+    # Pad the lane dim by k_cap so per-tile slices never clamp-shift.
+    pad_block = jnp.zeros((3, r, k_cap), flat_coeffs.dtype)
+    pad_block = pad_block.at[2, 0, :].set(_BIG_NEG)
+    flat_coeffs = jnp.concatenate([flat_coeffs, pad_block], axis=2)
+
+    def tile_block(start):
+        return jax.lax.dynamic_slice(
+            flat_coeffs, (0, 0, start), (3, r, k_cap)
+        )
+
+    dense = jax.vmap(tile_block)(starts)  # (n_tiles, 3, R, K)
+    used = jnp.minimum(counts, k_cap)
+    # The fixed-size window overruns into the NEXT tile's segment when
+    # count < K — those foreign entries carry the wrong tile's rebase.
+    # Kill them via the e0 constant (same trick as validity folding).
+    j = jnp.arange(k_cap, dtype=jnp.int32)[None, :]
+    in_seg = j < used[:, None]
+    dense = dense.at[:, 2, 0, :].set(
+        jnp.where(in_seg, dense[:, 2, 0, :], _BIG_NEG)
+    )
+
+    g = huge_ids.shape[0]
+    if g > 0:
+        hraw = all_planes[huge_ids]  # (G, R, 3)
+        hv = valid[huge_ids]
+        ox = tile_origin[:, 0][:, None, None]
+        oy = tile_origin[:, 1][:, None, None]
+        hgamma = hraw[None, ..., 2] + hraw[None, ..., 0] * ox + hraw[None, ..., 1] * oy
+        hgamma = hgamma.at[..., 0].set(
+            jnp.where(hv[None, :], hgamma[..., 0], _BIG_NEG)
+        )  # (n_tiles, G, R)
+        huge_block = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    hraw[None, ..., :2], (n_tiles, g, r, 2)
+                ),
+                hgamma[..., None],
+            ],
+            axis=-1,
+        ).transpose(0, 3, 2, 1)  # (n_tiles, 3, R, G)
+        dense = jnp.concatenate([huge_block, dense], axis=3)
+        used = used + g
+
+    coeffs = dense.reshape(n_tiles, 3, r * (g + k_cap))
+    return coeffs, used
 
 
 def _gather_tile_rows(
@@ -160,9 +233,6 @@ def _gbuffer_single(
 
     setup = _triangle_setup(pos_clip, tri, width, height)
     max_per_tile = config.max_tris_per_tile or t_total
-    ids, counts = _bin_dispatch(
-        setup, width, height, tile_h, tile_w, max_per_tile, config
-    )
 
     # Constant id plane: evaluating it yields the global triangle id at
     # every pixel (alpha = beta = 0, gamma = id) — winner identity rides
@@ -182,7 +252,26 @@ def _gbuffer_single(
     ty0 = (tile_ix // n_tx * tile_h).astype(jnp.float32)
     tx0 = (tile_ix % n_tx * tile_w).astype(jnp.float32)
     origin = jnp.stack([tx0, ty0], axis=-1)
-    coeffs = _gather_tile_rows(all_planes, setup.valid, ids, origin)
+
+    n_tiles = n_ty * n_tx
+    use_flat = (
+        config.bin_mode == "sort_pairs"
+        and t_total >= config.bin_sort_pairs_min_tris
+        and (n_tiles + 1) * t_total < 2**31
+    )
+    if use_flat:
+        flat = _bin_flat(
+            setup, width, height, tile_h, tile_w,
+            config.bin_span_tiles_y, config.bin_span_tiles_x, config.bin_huge,
+        )
+        coeffs, counts = _gather_tile_rows_flat(
+            all_planes, setup.valid, flat, origin, min(max_per_tile, t_total)
+        )
+    else:
+        ids, counts = _bin_dispatch(
+            setup, width, height, tile_h, tile_w, max_per_tile, config
+        )
+        coeffs = _gather_tile_rows(all_planes, setup.valid, ids, origin)
 
     if config.backend == "fused_pallas":
         from .gbuffer_pallas import zattr_tiles_pallas

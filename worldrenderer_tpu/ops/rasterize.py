@@ -65,10 +65,11 @@ class RasterizerConfig(NamedTuple):
     # pairs (fast, used automatically for T >= bin_sort_pairs_min_tris);
     # "argsort" stable-compacts each tile column (simple, cheap for small T).
     bin_mode: str = "sort_pairs"
-    # sort_pairs knobs: replica coverage in pixels per axis (triangles with
-    # a bbox larger than this go through the shared huge-triangle list of
-    # size bin_huge, which must exceed the count of such triangles).
-    bin_span_px: int = 256
+    # sort_pairs knobs: replica span in TILES per axis (triangles whose bbox
+    # covers more tiles go through the shared huge-triangle list of size
+    # bin_huge, which must exceed the count of such triangles).
+    bin_span_tiles_y: int = 4
+    bin_span_tiles_x: int = 2
     bin_huge: int = 256
     bin_sort_pairs_min_tris: int = 4096
 
@@ -212,7 +213,8 @@ def _bin_triangles_sort_pairs(
     tile_h: int,
     tile_w: int,
     max_per_tile: int,
-    span_px: int,
+    span_y_max: int,
+    span_x_max: int,
     n_huge: int,
 ) -> jnp.ndarray:
     """Fast binning: ONE sort of (tile, tri) replica pairs instead of a
@@ -243,8 +245,65 @@ def _bin_triangles_sort_pairs(
         & (bbox[:, 2] <= height)
         & setup.valid[:-1]
     )
-    span_x_max = max(1, -(-span_px // tile_w))
-    span_y_max = max(1, -(-span_px // tile_h))
+    flat = _bin_flat(
+        setup, width, height, tile_h, tile_w, span_y_max, span_x_max, n_huge
+    )
+    s_tri, _, starts, counts, huge_ids = flat
+
+    k = min(max_per_tile, t_total)
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.clip(starts[:, None] + j, 0, s_tri.shape[0] - 1)
+    ids = jnp.where(j < counts[:, None], s_tri[gather_idx], t_total)
+    entry_counts = jnp.minimum(counts, k).astype(jnp.int32)
+
+    # Huge triangles PREPENDED to every tile (a prefix layout keeps all live
+    # entries contiguous so kernels can run a dynamic, per-tile trip count
+    # and skip the padded tail).
+    g = huge_ids.shape[0]
+    if g > 0:
+        ids = jnp.concatenate(
+            [jnp.broadcast_to(huge_ids[None], (n_tiles, g)), ids], axis=1
+        )
+        entry_counts = entry_counts + g
+    return ids, entry_counts
+
+
+def _bin_flat(
+    setup: _TriSetup,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    span_y_max: int,
+    span_x_max: int,
+    n_huge: int,
+):
+    """Flat binning core: ONE sort of (tile, tri) replica pairs.
+
+    Returns (s_tri (L,) i32 — triangle ids sorted tile-major then ascending,
+    sentinel T in the tail; s_tile (L,) i32 with n_tiles for sentinels;
+    starts (n_tiles,) i32 segment offsets; counts (n_tiles,) i32;
+    huge_ids (G,) i32 padded with T). Each tile's live entries are the
+    CONTIGUOUS slice s_tri[starts[t] : starts[t] + counts[t]] — downstream
+    consumers expand per-tile blocks with cheap contiguous dynamic slices
+    instead of row gathers."""
+    n_ty = -(-height // tile_h)
+    n_tx = -(-width // tile_w)
+    n_tiles = n_ty * n_tx
+    t_total = setup.valid.shape[0] - 1
+
+    bbox = setup.bbox[:-1]
+    tx0 = jnp.clip(jnp.floor((bbox[:, 0] - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((bbox[:, 1] + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((bbox[:, 2] - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((bbox[:, 3] + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+    on_screen = (
+        (bbox[:, 1] >= 0)
+        & (bbox[:, 0] <= width)
+        & (bbox[:, 3] >= 0)
+        & (bbox[:, 2] <= height)
+        & setup.valid[:-1]
+    )
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
     huge = (span_x > span_x_max) | (span_y > span_y_max)
@@ -260,34 +319,26 @@ def _bin_triangles_sort_pairs(
             keys.append(jnp.where(valid, tile, n_tiles) * t_total + tri_idx)
     keys = jnp.concatenate(keys)  # (T * span_y_max * span_x_max,)
     keys = jnp.sort(keys)
-    s_tile = keys // t_total  # ascending; n_tiles = sentinel tail
+    s_tile = (keys // t_total).astype(jnp.int32)  # ascending; sentinel tail
     s_tri = (keys % t_total).astype(jnp.int32)
+    s_tri = jnp.where(s_tile < n_tiles, s_tri, t_total)
 
     # Per-tile segment starts/counts without searchsorted: one compare-sum.
     counts = jnp.sum(
         s_tile[None, :] == jnp.arange(n_tiles, dtype=jnp.int32)[:, None], axis=1
+    ).astype(jnp.int32)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
     )
-    starts = jnp.concatenate([jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]])
 
-    k = min(max_per_tile, t_total)
-    j = jnp.arange(k, dtype=jnp.int32)[None, :]
-    gather_idx = jnp.clip(starts[:, None] + j, 0, keys.shape[0] - 1)
-    ids = jnp.where(j < counts[:, None], s_tri[gather_idx], t_total)
-    entry_counts = jnp.minimum(counts, k).astype(jnp.int32)
-
-    # Huge triangles: top-n_huge by earliest index, PREPENDED to every tile
-    # (a prefix layout keeps all live entries contiguous so kernels can run
-    # a dynamic, per-tile trip count and skip the padded tail).
-    if n_huge > 0:
-        g = min(n_huge, t_total)
+    g = min(n_huge, t_total) if n_huge > 0 else 0
+    if g > 0:
         prio = jnp.where(huge & on_screen, t_total - tri_idx, 0)
         top_vals, top_idx = jax.lax.top_k(prio, g)
         huge_ids = jnp.where(top_vals > 0, top_idx.astype(jnp.int32), t_total)
-        ids = jnp.concatenate(
-            [jnp.broadcast_to(huge_ids[None], (n_tiles, g)), ids], axis=1
-        )
-        entry_counts = entry_counts + g
-    return ids, entry_counts
+    else:
+        huge_ids = jnp.zeros((0,), jnp.int32)
+    return s_tri, s_tile, starts, counts, huge_ids
 
 
 _BIG_NEG = -3.0e38
@@ -408,7 +459,7 @@ def _bin_dispatch(
     ):
         return _bin_triangles_sort_pairs(
             setup, width, height, tile_h, tile_w, max_per_tile,
-            config.bin_span_px, config.bin_huge,
+            config.bin_span_tiles_y, config.bin_span_tiles_x, config.bin_huge,
         )
     ids = _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
     counts = jnp.sum(ids < t_total, axis=1).astype(jnp.int32)
