@@ -30,7 +30,7 @@ def main():
 
     from worldrenderer_tpu import get_camera
     from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
-    from worldrenderer_tpu.ops.rasterize import RasterizerConfig
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, RasterizerConfig
     from worldrenderer_tpu.render import render
 
     # ~10k-triangle heightfield: (72-1)^2 * 2 = 10082 tris.
@@ -54,9 +54,7 @@ def main():
     # K chosen above the measured worst-case per-tile count (1248 for this
     # mesh/res/tiling); the guard below fails loudly if a config change
     # ever makes the cap lossy.
-    cfg = RasterizerConfig(
-        tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128
-    )
+    cfg = FAST_TPU_CONFIG
     render_fn = functools.partial(
         render,
         height=HEIGHT,
@@ -89,7 +87,10 @@ def main():
     # cap — if K were truncating triangle lists, 2K would change the image.
     # (Cheaper than compiling the exact K=T path; validated against exact
     # offline: worst-case per-tile count is 1248 < 1536 for this scene.)
-    cfg2 = cfg._replace(max_tris_per_tile=2 * cfg.max_tris_per_tile)
+    cfg2 = cfg._replace(
+        max_tris_per_tile=2 * cfg.max_tris_per_tile,
+        bin_flat_cap_factor=2 * cfg.bin_flat_cap_factor,
+    )
     capped = render(
         mesh, cam, HEIGHT, WIDTH, render_attr=False, render_depth=False,
         render_normal=True, raster_config=cfg,

@@ -263,6 +263,7 @@ def _gbuffer_single(
         flat = _bin_flat(
             setup, width, height, tile_h, tile_w,
             config.bin_span_tiles_y, config.bin_span_tiles_x, config.bin_huge,
+            config.bin_flat_cap_factor,
         )
         coeffs, counts = _gather_tile_rows_flat(
             all_planes, setup.valid, flat, origin, min(max_per_tile, t_total)

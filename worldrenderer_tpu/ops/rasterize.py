@@ -46,7 +46,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rasterize", "RasterizerConfig"]
+__all__ = ["rasterize", "RasterizerConfig", "FAST_TPU_CONFIG"]
 
 _W_EPS = 1e-8
 
@@ -72,9 +72,21 @@ class RasterizerConfig(NamedTuple):
     bin_span_tiles_x: int = 2
     bin_huge: int = 256
     bin_sort_pairs_min_tris: int = 4096
+    # Flat-list length cap as a multiple of T: the sorted pair list is
+    # truncated to cap_factor*T entries before the coefficient gather
+    # (sentinel padding sorts last, so this only drops real entries when the
+    # total replica count exceeds the cap — validate per scene by doubling).
+    bin_flat_cap_factor: int = 4
 
 
 DEFAULT_CONFIG = RasterizerConfig()
+
+# Tuned TPU fast path (gather-free fused kernel + flat binning). K is a
+# per-scene knob: it must exceed the worst-case per-tile triangle count
+# (validate with a doubled-K coverage check, see bench.py).
+FAST_TPU_CONFIG = RasterizerConfig(
+    tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128
+)
 
 
 class _TriSetup(NamedTuple):
@@ -277,6 +289,7 @@ def _bin_flat(
     span_y_max: int,
     span_x_max: int,
     n_huge: int,
+    flat_cap_factor: int = 0,
 ):
     """Flat binning core: ONE sort of (tile, tri) replica pairs.
 
@@ -319,6 +332,10 @@ def _bin_flat(
             keys.append(jnp.where(valid, tile, n_tiles) * t_total + tri_idx)
     keys = jnp.concatenate(keys)  # (T * span_y_max * span_x_max,)
     keys = jnp.sort(keys)
+    if flat_cap_factor > 0:
+        # Truncate the (sentinel-heavy) tail so downstream gathers touch
+        # ~live entries only.
+        keys = keys[: min(keys.shape[0], flat_cap_factor * t_total)]
     s_tile = (keys // t_total).astype(jnp.int32)  # ascending; sentinel tail
     s_tri = (keys % t_total).astype(jnp.int32)
     s_tri = jnp.where(s_tile < n_tiles, s_tri, t_total)
