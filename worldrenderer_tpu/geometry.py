@@ -104,3 +104,62 @@ def compute_plucker_embed(
     cross = jnp.cross(rays_o, rays_d)
     plucker = jnp.concatenate([rays_d, cross], axis=-1)
     return jnp.transpose(plucker, (2, 0, 1))
+
+
+def get_opencv_from_blender(
+    matrix_world: jnp.ndarray,
+    fov: Optional[float] = None,
+    image_size: Optional[int] = None,
+):
+    """Blender camera world matrix -> OpenCV extrinsics (and intrinsics when
+    perspective). Reference geometry.py:114-137: invert, then negate the Y
+    and Z camera rows (OpenGL -> OpenCV camera axes)."""
+    w2c = jnp.linalg.inv(matrix_world)
+    w2c = w2c.at[1, :].multiply(-1.0).at[2, :].multiply(-1.0)
+    rot, trans = w2c[:3, :3], w2c[:3, 3]
+    if fov is None:  # orthographic camera
+        return rot, trans
+    import math
+
+    focal = 1.0 / math.tan(fov / 2.0)
+    intr = jnp.diag(jnp.array([focal, focal, 1.0], jnp.float32))[None]
+    intr = intr.at[:, :2, -1].add(image_size / 2.0)
+    intr = intr.at[:, 0, 0].multiply(image_size / 2.0)
+    intr = intr.at[:, 1, 1].multiply(image_size / 2.0)
+    return rot[None], trans[None], intr
+
+
+def get_plucker_embeds_from_cameras(
+    c2w, fov, image_size: int
+) -> jnp.ndarray:
+    """(B, 6, H, W) Plücker embeddings for perspective cameras
+    (reference geometry.py:204-221)."""
+    import math
+
+    embeds = [
+        compute_plucker_embed(
+            jnp.asarray(m), image_size, image_size,
+            0.5 * image_size / math.tan(0.5 * float(f)),
+        )
+        for m, f in zip(c2w, fov)
+    ]
+    return jnp.stack(embeds)
+
+
+def get_plucker_embeds_from_cameras_ortho(
+    c2w, ortho_scale, image_size: int
+) -> jnp.ndarray:
+    """(B, 6, H, W) constant Plücker embeddings for orthographic cameras
+    (reference geometry.py:224-253): per-camera [view_dir, normalized
+    position] broadcast over the image."""
+    embeds = []
+    for m, _scale in zip(c2w, ortho_scale):
+        rot, trans = get_opencv_from_blender(jnp.asarray(m))
+        cam_pos = -rot.T @ trans
+        view_dir = rot.T @ jnp.array([0.0, 0.0, 1.0], jnp.float32)
+        cam_pos = normalize(cam_pos, axis=0)
+        plucker = jnp.concatenate([view_dir, cam_pos])  # (6,)
+        embeds.append(
+            jnp.broadcast_to(plucker[:, None, None], (6, image_size, image_size))
+        )
+    return jnp.stack(embeds)

@@ -234,6 +234,56 @@ def polar_to_c2w(elevation: float, azimuth: float, distance: float) -> np.ndarra
     return c2w
 
 
+def get_intrinsic_from_fov(fov: float, height: int, width: int, bs: int = -1):
+    """Pinhole intrinsics from a vertical fov (reference ops.py:302-313)."""
+    focal = 0.5 * height / math.tan(0.5 * fov)
+    intr = np.identity(3, dtype=np.float32)
+    intr[0, 0] = focal
+    intr[1, 1] = focal
+    intr[0, 2] = width / 2.0
+    intr[1, 2] = height / 2.0
+    if bs > 0:
+        intr = np.repeat(intr[None], bs, axis=0)
+    return jnp.asarray(intr)
+
+
+def binary_cross_entropy(input: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Numerically explicit BCE (reference ops.py:316-320)."""
+    return -jnp.mean(
+        target * jnp.log(input) + (1.0 - target) * jnp.log(1.0 - input)
+    )
+
+
+def tet_sdf_diff(vert_sdf: jnp.ndarray, tet_edges: jnp.ndarray) -> jnp.ndarray:
+    """Sign-consistency loss over tet edges crossing the SDF zero level
+    (reference ops.py:323-334). The torch version boolean-masks crossing
+    edges (dynamic shape); here the per-edge losses are where-weighted and
+    averaged over the crossing count — identical value, static shapes."""
+    s = vert_sdf[:, 0][tet_edges.reshape(-1)].reshape(-1, 2)
+    crossing = jnp.sign(s[:, 0]) != jnp.sign(s[:, 1])
+
+    def bce_logits(logits, labels):
+        return jnp.maximum(logits, 0) - logits * labels + jnp.log1p(
+            jnp.exp(-jnp.abs(logits))
+        )
+
+    per_edge = bce_logits(s[:, 0], (s[:, 1] > 0).astype(s.dtype)) + bce_logits(
+        s[:, 1], (s[:, 0] > 0).astype(s.dtype)
+    )
+    n = jnp.maximum(jnp.sum(crossing), 1)
+    return jnp.sum(jnp.where(crossing, per_edge, 0.0)) / n
+
+
+def validate_empty_rays(ray_indices, t_start, t_end):
+    """Replace an empty ray set with one dummy ray (reference
+    ops.py:337-344). Host-side guard — shapes must be concrete."""
+    if np.asarray(ray_indices).size == 0:
+        ray_indices = jnp.zeros((1,), jnp.int32)
+        t_start = jnp.zeros((1,), jnp.float32)
+        t_end = jnp.zeros((1,), jnp.float32)
+    return ray_indices, t_start, t_end
+
+
 def fourier_position_encoding(x: jnp.ndarray, n_freq: int, dim: int) -> jnp.ndarray:
     """sin/cos features at octave frequencies along ``dim``
     (reference ops.py:439-462)."""

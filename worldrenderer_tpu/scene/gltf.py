@@ -21,7 +21,13 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["load_glb", "save_glb", "replace_glb_texture", "GLBScene"]
+__all__ = [
+    "load_glb",
+    "save_glb",
+    "replace_glb_texture",
+    "replace_mesh_texture_and_save",
+    "GLBScene",
+]
 
 _MAGIC = 0x46546C67  # 'glTF'
 _CHUNK_JSON = 0x4E4F534A
@@ -353,6 +359,41 @@ def save_glb(
         gltf["samplers"] = samplers
 
     Path(path).write_bytes(_build_glb(gltf, blob))
+
+
+def replace_mesh_texture_and_save(
+    mesh_path,
+    save_path,
+    texture,
+    metallic_roughness_texture=None,
+    normal_texture=None,
+    normal_strength: float = 1.0,
+    backend: str = "native",
+    task_id: str = "",
+) -> None:
+    """API-parity wrapper (reference mesh.py:348-526 signature): write the
+    baked texture (plus optional PBR maps) into the mesh's GLB. The
+    trimesh/gltflib backend split of the reference collapses to the native
+    writer; PBR maps force a fresh single-mesh GLB."""
+    del backend, task_id, normal_strength  # parity args
+    texture = np.asarray(texture, np.float32)
+    if metallic_roughness_texture is None and normal_texture is None:
+        try:
+            replace_glb_texture(mesh_path, save_path, texture)
+            return
+        except ValueError:
+            pass  # source had no baseColor slot — write a fresh GLB below
+    parsed = load_glb(mesh_path)
+    save_glb(
+        save_path,
+        vertices=parsed["vertices"].astype(np.float32),
+        faces=parsed["faces"].astype(np.uint32),
+        uv=parsed["uv"],
+        normals=None if parsed["normals"] is None else parsed["normals"].astype(np.float32),
+        texture=texture,
+        metallic_roughness_texture=metallic_roughness_texture,
+        normal_texture=normal_texture,
+    )
 
 
 def replace_glb_texture(src_path, dst_path, texture: np.ndarray) -> None:
