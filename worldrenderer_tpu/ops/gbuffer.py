@@ -190,6 +190,7 @@ def _zattr_tile_xla(
             coeffs_c.reshape(3, r * c), b_mat,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(r, c, p)
         z = e[3]
         idrow = e[4]

@@ -52,6 +52,7 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
                 a_t, b_mat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         e0 = plane(0)

@@ -426,6 +426,7 @@ def _raster_zid_tile(
             coeffs_c.reshape(3, 4 * c), b_mat,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (4C, P)
         e = e.reshape(4, c, p)
         z = e[3]

@@ -56,6 +56,7 @@ def _kernel(nchunks_ref, coeffs_ref, z_out_ref, slot_out_ref, *, k, c, tile_h,
                 a_t, b_mat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         e0 = plane(0)
