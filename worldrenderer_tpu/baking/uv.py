@@ -136,7 +136,10 @@ def uv_render_geometry(
 
     # Rotate normals into camera space; the torch row-broadcast at
     # uv.py:107-110 is normal @ R^T with R = w2c[:3, :3].
-    view_normal_cs = jnp.einsum("bhwj,bij->bhwi", view_normal, cam.w2c[:, :3, :3])
+    view_normal_cs = jnp.einsum(
+        "bhwj,bij->bhwi", view_normal, cam.w2c[:, :3, :3],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     view_normal_cs = normalize(view_normal_cs)
     view_normal_cs = jnp.where(view_mask[..., None], view_normal_cs, view_normal)
     view_aoi_cos = jnp.clip(view_normal_cs[..., 2], 0.0, 1.0)

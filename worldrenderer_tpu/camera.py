@@ -20,6 +20,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple, Optional, Sequence, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -183,7 +184,8 @@ def rigid_inverse(mat: jnp.ndarray) -> jnp.ndarray:
     rot = mat[..., :3, :3]
     t = mat[..., :3, 3]
     rot_t = jnp.swapaxes(rot, -1, -2)
-    t_inv = -jnp.einsum("...ij,...j->...i", rot_t, t)
+    t_inv = -jnp.einsum("...ij,...j->...i", rot_t, t,
+                        precision=jax.lax.Precision.HIGHEST)
     inv = jnp.concatenate([rot_t, t_inv[..., None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], mat.dtype), inv.shape[:-2] + (1, 4)
@@ -239,7 +241,7 @@ def get_camera(
     proj_mtx = _as_f32(proj_mtx)
     if proj_mtx.shape[0] == 1 and w2c.shape[0] > 1:
         proj_mtx = jnp.broadcast_to(proj_mtx, (w2c.shape[0], 4, 4))
-    mvp_mtx = proj_mtx @ w2c
+    mvp_mtx = jnp.matmul(proj_mtx, w2c, precision=jax.lax.Precision.HIGHEST)
     return Camera(c2w=c2w, w2c=w2c, proj_mtx=proj_mtx, mvp_mtx=mvp_mtx, cam_pos=cam_pos)
 
 
@@ -263,5 +265,5 @@ def get_orthogonal_camera(
         batch_size=c2w.shape[0], left=left, right=right, bottom=bottom, top=top,
         near=near, far=far,
     )
-    mvp_mtx = proj_mtx @ w2c
+    mvp_mtx = jnp.matmul(proj_mtx, w2c, precision=jax.lax.Precision.HIGHEST)
     return Camera(c2w=c2w, w2c=w2c, proj_mtx=proj_mtx, mvp_mtx=mvp_mtx, cam_pos=cam_pos)

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .camera import normalize
@@ -36,7 +37,8 @@ def get_position_map_from_depth(
     y = (v - cy) * depth / fy
     cam = jnp.stack([x, y, depth], axis=-1)
     cam_h = jnp.concatenate([cam, jnp.ones_like(cam[..., :1])], axis=-1)
-    world = jnp.einsum("bhwj,bij->bhwi", cam_h, extrinsics)
+    world = jnp.einsum("bhwj,bij->bhwi", cam_h, extrinsics,
+                       precision=jax.lax.Precision.HIGHEST)
     return world[..., :3] * mask
 
 
@@ -61,7 +63,8 @@ def get_position_map_from_depth_ortho(
     y = jnp.broadcast_to(y, depth.shape)
     cam = jnp.stack([x, y, depth], axis=-1)
     cam_h = jnp.concatenate([cam, jnp.ones_like(cam[..., :1])], axis=-1)
-    world = jnp.einsum("bhwj,bij->bhwi", cam_h, extrinsics)
+    world = jnp.einsum("bhwj,bij->bhwi", cam_h, extrinsics,
+                       precision=jax.lax.Precision.HIGHEST)
     return world[..., :3] * mask
 
 

@@ -55,8 +55,10 @@ def _attr_planes(setup, tri: jnp.ndarray, v_attr: jnp.ndarray) -> jnp.ndarray:
     a = v_attr[tri]  # (T, 3, A)
     inv_w = setup.inv_w[:-1]  # (T, 3)
     eplanes = setup.planes[:-1, :3, :]  # (T, 3edges, 3coef)
-    num = jnp.einsum("tia,ti,tic->tac", a, inv_w, eplanes)  # (T, A, 3)
-    den = jnp.einsum("ti,tic->tc", inv_w, eplanes)[:, None, :]  # (T, 1, 3)
+    num = jnp.einsum("tia,ti,tic->tac", a, inv_w, eplanes,
+                     precision=jax.lax.Precision.HIGHEST)  # (T, A, 3)
+    den = jnp.einsum("ti,tic->tc", inv_w, eplanes,
+                     precision=jax.lax.Precision.HIGHEST)[:, None, :]  # (T, 1, 3)
     planes = jnp.concatenate([num, den], axis=1)  # (T, A+1, 3)
     return jnp.pad(planes, [(0, 1), (0, 0), (0, 0)])
 

@@ -147,7 +147,8 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
 
     # z/w is screen-affine: z(p) = sum_i e_i(p) * zw_i / |area|.
     zc = zw * inv_area[:, None]  # (T, 3)
-    z_plane = jnp.einsum("ti,tic->tc", zc, edge_planes)  # (T, 3)
+    z_plane = jnp.einsum("ti,tic->tc", zc, edge_planes,
+                         precision=jax.lax.Precision.HIGHEST)  # (T, 3)
     planes = jnp.concatenate([edge_planes, z_plane[:, None, :]], axis=1)
 
     bbox = jnp.stack(

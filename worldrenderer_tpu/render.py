@@ -165,7 +165,8 @@ def _render_fused(
         ],
         axis=-1,
     )  # (B, H, W, 4)
-    world_h = jnp.einsum("bhwj,bij->bhwi", ndc, inv_mvp)
+    world_h = jnp.einsum("bhwj,bij->bhwi", ndc, inv_mvp,
+                         precision=jax.lax.Precision.HIGHEST)
     w_div = jnp.where(jnp.abs(world_h[..., 3:4]) < 1e-20, 1e-20, world_h[..., 3:4])
     gb_pos = jnp.where(mask[..., None], world_h[..., :3] / w_div, 0.0)
     res = {"mask": mask, "pos": gb_pos}

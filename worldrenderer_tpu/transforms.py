@@ -5,6 +5,7 @@ Reference contracts: mvadapter/utils/mesh_utils/utils.py:127-139.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -14,7 +15,8 @@ def get_clip_space_position(pos: jnp.ndarray, mvp_mtx: jnp.ndarray) -> jnp.ndarr
     Returns (N, V, 4) clip-space positions (reference utils.py:127-129).
     """
     pos_homo = jnp.concatenate([pos, jnp.ones_like(pos[..., :1])], axis=-1)
-    return jnp.einsum("vj,nij->nvi", pos_homo, mvp_mtx)
+    return jnp.einsum("vj,nij->nvi", pos_homo, mvp_mtx,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def transform_points_homo(pos: jnp.ndarray, mtx: jnp.ndarray) -> jnp.ndarray:
@@ -25,7 +27,8 @@ def transform_points_homo(pos: jnp.ndarray, mtx: jnp.ndarray) -> jnp.ndarray:
     inner = pos.shape[1:-1]
     flat = pos.reshape(batch, -1, 3)
     flat_homo = jnp.concatenate([flat, jnp.ones_like(flat[..., :1])], axis=-1)
-    out = jnp.einsum("nvj,nij->nvi", flat_homo, mtx)[..., :3]
+    out = jnp.einsum("nvj,nij->nvi", flat_homo, mtx,
+                     precision=jax.lax.Precision.HIGHEST)[..., :3]
     return out.reshape((batch,) + inner + (3,))
 
 
