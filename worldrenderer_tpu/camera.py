@@ -219,8 +219,6 @@ def get_camera(
             c2w = get_c2w(elevation_deg, distance, azimuth_deg, num_views)
         c2w = _as_f32(c2w)
         if perturb_camera_position > 0.0:
-            import jax
-
             if key is None:
                 key = jax.random.PRNGKey(0)
             noise = jax.random.uniform(
