@@ -38,6 +38,12 @@ from .rasterize import (
 
 __all__ = ["rasterize_gbuffer", "GBufferOutput"]
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 _BIG_SLOT = 2**30
 
 
@@ -162,6 +168,7 @@ def _zattr_tile_xla(
     tile_h: int,
     tile_w: int,
     chunk: int,
+    dot_precision=jax.lax.Precision.HIGHEST,
 ):
     """XLA scan version of the fused pass for one tile. Row blocks:
     [e0, e1, e2, z, id, a_0..a_{A-1}, den]. The id block is a constant
@@ -192,7 +199,7 @@ def _zattr_tile_xla(
             coeffs_c.reshape(3, r * c), b_mat,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=dot_precision,
         ).reshape(r, c, p)
         z = e[3]
         idrow = e[4]
@@ -281,11 +288,15 @@ def _gbuffer_single(
         from .gbuffer_pallas import zattr_tiles_pallas
 
         z_t, id_t, v_t = zattr_tiles_pallas(
-            coeffs, counts, n_attr + 1, tile_h, tile_w, config.chunk
+            coeffs, counts, n_attr + 1, tile_h, tile_w, config.chunk,
+            _PRECISIONS[config.dot_precision],
         )
     else:
         z_t, id_t, v_t = jax.vmap(
-            lambda co: _zattr_tile_xla(co, n_attr, tile_h, tile_w, config.chunk)
+            lambda co: _zattr_tile_xla(
+                co, n_attr, tile_h, tile_w, config.chunk,
+                _PRECISIONS[config.dot_precision],
+            )
         )(coeffs)
         z_t = z_t.reshape(-1, tile_h, tile_w)
         id_t = id_t.reshape(-1, tile_h, tile_w)

@@ -26,7 +26,7 @@ _BIG_NEG = -3.0e38
 
 
 def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
-            tile_h, tile_w):
+            tile_h, tile_w, dot_precision):
     p = tile_h * tile_w
     r = 5 + n_vals
     # Dynamic per-tile trip count (scalar-prefetched): most tiles have far
@@ -52,7 +52,7 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
                 a_t, b_mat,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=dot_precision,
             )
 
         e0 = plane(0)
@@ -90,7 +90,7 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
     v_out[0, :, :] = vbuf
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def zattr_tiles_pallas(
     coeffs: jnp.ndarray,  # (n_tiles, 3, R*K) coef-major, R = 5 + n_vals
     counts: jnp.ndarray,  # (n_tiles,) live-entry counts (contiguous prefix)
@@ -98,6 +98,7 @@ def zattr_tiles_pallas(
     tile_h: int,
     tile_w: int,
     chunk: int,
+    dot_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (z, id (f32 raw, BIG=bg), vals) per tile."""
     n_tiles, _, rk = coeffs.shape
@@ -118,7 +119,8 @@ def zattr_tiles_pallas(
 
     p = tile_h * tile_w
     kernel = functools.partial(
-        _kernel, k=k, c=c, n_vals=n_vals, tile_h=tile_h, tile_w=tile_w
+        _kernel, k=k, c=c, n_vals=n_vals, tile_h=tile_h, tile_w=tile_w,
+        dot_precision=dot_precision,
     )
     interpret = jax.default_backend() not in ("tpu", "axon")
     grid_spec = pltpu.PrefetchScalarGridSpec(

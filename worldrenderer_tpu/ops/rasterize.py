@@ -77,6 +77,10 @@ class RasterizerConfig(NamedTuple):
     # (sentinel padding sorts last, so this only drops real entries when the
     # total replica count exceeds the cap — validate per scene by doubling).
     bin_flat_cap_factor: int = 4
+    # MXU precision for the in-kernel plane matmuls: "highest" (true fp32,
+    # safest), "high" (3-pass bf16, ~fp32 accuracy, faster). Setup einsums
+    # always run at highest — their pre-rebase magnitudes are unbounded.
+    dot_precision: str = "highest"
 
 
 DEFAULT_CONFIG = RasterizerConfig()
