@@ -41,19 +41,19 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
 
     def body(ci, carry):
         zbuf, idbuf, vbuf = carry  # (1,P) f32, (1,P) f32, (n_vals,P) f32
-        c0 = ci * c
+        # Chunk-major layout: all r row-blocks of this chunk are ONE
+        # contiguous (3, r*c) slice -> a single MXU matmul per chunk
+        # (vs r small dots). r*c is a multiple of 128 (c = 128m).
+        a_t = coeffs_ref[0, :, pl.ds(pl.multiple_of(ci * (r * c), 128), r * c)]
+        e_all = jax.lax.dot_general(
+            a_t, b_mat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=dot_precision,
+        )  # (r*c, P)
 
         def plane(block):
-            # coef-major slice (3, C); contract the 3-dim against b_mat.
-            # Lane-dim dynamic slices must be 128-aligned (c, k are
-            # multiples of 128 by construction).
-            a_t = coeffs_ref[0, :, pl.ds(pl.multiple_of(block * k + c0, 128), c)]
-            return jax.lax.dot_general(
-                a_t, b_mat,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision,
-            )
+            return e_all[block * c : (block + 1) * c]
 
         e0 = plane(0)
         e1 = plane(1)
@@ -116,6 +116,15 @@ def zattr_tiles_pallas(
         k += pad
 
     n_chunks = jnp.ceil(counts.astype(jnp.float32) / c).astype(jnp.int32)
+
+    # Re-layout block-major (3, r, K) -> chunk-major (3, nch, r, c) so each
+    # chunk's rows are contiguous for the fused single-dot kernel.
+    nch = k // c
+    coeffs = (
+        coeffs.reshape(n_tiles, 3, r, nch, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_tiles, 3, r * k)
+    )
 
     p = tile_h * tile_w
     kernel = functools.partial(
