@@ -42,6 +42,9 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
+    # Manual two-pass bf16 split (Pallas kernel only; ~3x cheaper than the
+    # fp32 path, near-fp32 accurate; needs T < 2^16 for exact id planes).
+    "split_bf16": "split_bf16",
 }
 
 _BIG_SLOT = 2**30
@@ -287,15 +290,22 @@ def _gbuffer_single(
     if config.backend == "fused_pallas":
         from .gbuffer_pallas import zattr_tiles_pallas
 
+        prec = config.dot_precision
+        if prec == "split_bf16" and t_total >= 2**16:
+            prec = "highest"  # id-plane exactness limit
         z_t, id_t, v_t = zattr_tiles_pallas(
             coeffs, counts, n_attr + 1, tile_h, tile_w, config.chunk,
-            _PRECISIONS[config.dot_precision],
+            _PRECISIONS[prec],
         )
     else:
         z_t, id_t, v_t = jax.vmap(
             lambda co: _zattr_tile_xla(
                 co, n_attr, tile_h, tile_w, config.chunk,
-                _PRECISIONS[config.dot_precision],
+                _PRECISIONS.get(
+                    config.dot_precision
+                    if config.dot_precision != "split_bf16" else "highest",
+                    jax.lax.Precision.HIGHEST,
+                ),
             )
         )(coeffs)
         z_t = z_t.reshape(-1, tile_h, tile_w)

@@ -45,12 +45,32 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
         # contiguous (3, r*c) slice -> a single MXU matmul per chunk
         # (vs r small dots). r*c is a multiple of 128 (c = 128m).
         a_t = coeffs_ref[0, :, pl.ds(pl.multiple_of(ci * (r * c), 128), r * c)]
-        e_all = jax.lax.dot_general(
-            a_t, b_mat,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=dot_precision,
-        )  # (r*c, P)
+        if dot_precision == "split_bf16":
+            # Two bf16 passes reconstruct near-fp32: the B matrix entries are
+            # half-integer pixel coords < 256, which bf16 represents EXACTLY,
+            # so splitting only the coefficients (hi + lo) suffices:
+            #   a @ B = hi @ B + lo @ B   (fp32 accumulation on the MXU).
+            # ~3x cheaper than the 6-pass fp32 path. Requires triangle ids
+            # < 2^16 for exact id-plane reconstruction (gated by caller).
+            a_hi = a_t.astype(jnp.bfloat16)
+            a_lo = (a_t - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_bf = b_mat.astype(jnp.bfloat16)
+
+            def bf_dot(x):
+                return jax.lax.dot_general(
+                    x, b_bf,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            e_all = bf_dot(a_hi) + bf_dot(a_lo)  # (r*c, P)
+        else:
+            e_all = jax.lax.dot_general(
+                a_t, b_mat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision,
+            )  # (r*c, P)
 
         def plane(block):
             return e_all[block * c : (block + 1) * c]

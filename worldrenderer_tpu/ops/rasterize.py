@@ -89,7 +89,9 @@ DEFAULT_CONFIG = RasterizerConfig()
 # per-scene knob: it must exceed the worst-case per-tile triangle count
 # (validate with a doubled-K coverage check, see bench.py).
 FAST_TPU_CONFIG = RasterizerConfig(
-    tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128
+    tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128,
+    dot_precision="split_bf16",  # 2-pass bf16, near-fp32 (auto-falls back
+    # to true fp32 for meshes with >= 2^16 triangles)
 )
 
 
