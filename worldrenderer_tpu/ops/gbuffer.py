@@ -78,6 +78,9 @@ def _gather_tile_rows_flat(
     flat,  # _bin_flat output
     tile_origin: jnp.ndarray,  # (n_tiles, 2)
     k_cap: int,
+    n_tx: int = 1,
+    tile_w: int = 128,
+    tile_h: int = 16,
 ) -> tuple:
     """Contiguous-slice coefficient expansion: ONE gather over the sorted
     flat pair list (~live entries only), per-entry tile rebase, then cheap
@@ -89,11 +92,26 @@ def _gather_tile_rows_flat(
     n_tiles = tile_origin.shape[0]
     r = all_planes.shape[1]
 
-    # Flat entry planes, rebased to each entry's own tile origin.
-    ep = all_planes[s_tri]  # (L, R, 3) — THE gather, live entries + sentinel tail
-    org = tile_origin[jnp.clip(s_tile, 0, n_tiles - 1)]  # (L, 2)
-    gamma = ep[..., 2] + ep[..., 0] * org[:, 0:1] + ep[..., 1] * org[:, 1:2]
-    v = valid[s_tri] & (s_tile < n_tiles)
+    # ONE fused gather: planes + validity ride a single record per triangle
+    # (separate gathers each pay the per-row gather cost); tile origins come
+    # from s_tile arithmetic, not a lookup.
+    record = jnp.concatenate(
+        [
+            all_planes.reshape(all_planes.shape[0], r * 3),
+            valid[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )  # (T+1, R*3 + 1)
+    rec = record[s_tri]  # (L, R*3+1) — THE gather
+    ep = rec[:, : r * 3].reshape(-1, r, 3)
+    v = (rec[:, r * 3] > 0.5) & (s_tile < n_tiles)
+
+    # Origins from tile-index arithmetic — the tile grid is regular, so no
+    # lookup is needed (tile t sits at ((t % n_tx) * tile_w, ...)).
+    st = jnp.clip(s_tile, 0, n_tiles - 1)
+    ox = ((st % n_tx) * tile_w).astype(jnp.float32)[:, None]
+    oy = ((st // n_tx) * tile_h).astype(jnp.float32)[:, None]
+    gamma = ep[..., 2] + ep[..., 0] * ox + ep[..., 1] * oy
     gamma = gamma.at[:, 0].set(jnp.where(v, gamma[:, 0], _BIG_NEG))
     ep = jnp.concatenate([ep[..., :2], gamma[..., None]], axis=-1)
     flat_coeffs = ep.transpose(2, 1, 0)  # (3, R, L)
@@ -279,7 +297,8 @@ def _gbuffer_single(
             config.bin_flat_cap_factor,
         )
         coeffs, counts = _gather_tile_rows_flat(
-            all_planes, setup.valid, flat, origin, min(max_per_tile, t_total)
+            all_planes, setup.valid, flat, origin, min(max_per_tile, t_total),
+            n_tx=n_tx, tile_w=tile_w, tile_h=tile_h,
         )
     else:
         ids, counts = _bin_dispatch(
