@@ -106,3 +106,37 @@ def test_sweep_runner_resume(small_scene, tmp_path):
     runner2 = SweepRunner(str(tmp_path), bucket_meshes=False)
     results2 = runner2.run(jobs)
     assert results2 == [None, None]
+
+
+def test_uv_projection_sharded_matches_single(small_scene):
+    """The inverse-rendering core under sharded view axes must match the
+    single-device result: uv_render_geometry/attr shard their leading Nv
+    axis; the blend reduces over views (an XLA-inserted cross-chip psum)."""
+    from worldrenderer_tpu.baking import (
+        uv_blend, uv_precompute, uv_render_attr, uv_render_geometry,
+    )
+    from worldrenderer_tpu.render import render
+
+    mesh, cam = small_scene
+    views = render(mesh, cam, RES, RES, render_attr=True).attr
+
+    def project(mesh, cam, views):
+        pre = uv_precompute(mesh, 24, 24)  # matches the texture size
+        geo = uv_render_geometry(mesh, cam, RES, RES, pre)
+        attr = uv_render_attr(views, geo)
+        return uv_blend(pre, geo, attr, do_uv_padding=False).uv_attr_blend
+
+    ref = project(mesh, cam, views)
+
+    dm = make_device_mesh()
+    shard = NamedSharding(dm, P(dm.axis_names[0]))
+    repl = NamedSharding(dm, P())
+    mesh_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, repl) if x is not None else None, mesh
+    )
+    cam_s = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard) if x is not None else None, cam
+    )
+    views_s = jax.device_put(views, shard)
+    out = jax.jit(project)(mesh_s, cam_s, views_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
