@@ -355,6 +355,16 @@ def uv_blend(
             uv_blend_weight=uv_blend_weight,
         )
 
+    if pre.uv_attr is not None and pre.uv_attr.shape[:2] != (
+        pre.height,
+        pre.width,
+    ):
+        raise ValueError(
+            f"mesh.texture is {pre.uv_attr.shape[:2]} but uv_size is "
+            f"({pre.height}, {pre.width}) — they must match (the blend "
+            "stitches against the original texture, reference uv.py:453-457)"
+        )
+
     uv_attr_blend = (
         uv_render_attr_output.uv_attr_proj * uv_blend_weight[..., None]
     ).sum(axis=0)
