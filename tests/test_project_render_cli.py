@@ -85,3 +85,55 @@ def test_project_and_render_end_to_end(tmp_path):
     mask = np.asarray(Image.open(out_dir / "mask" / "mask_00001.png")) > 0
     err = np.abs(rerendered - frames[1])[mask]
     assert np.median(err) < 0.1, f"median reprojection err {np.median(err)}"
+
+
+@pytest.mark.slow
+def test_project_and_render_keyframes_and_next_camera(tmp_path):
+    """pipeline_opt-style keyframe subselection + next-camera re-render."""
+    cv2 = pytest.importorskip("cv2")
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    tex = np.full((64, 64, 3), 0.5, np.float32)
+    glb = tmp_path / "scene.glb"
+    save_glb(glb, verts.astype(np.float32), faces.astype(np.uint32), uv=uv, texture=tex)
+
+    # Trajectory with a large jump in the middle -> keyframes {0, 2}.
+    az = np.array([0.0, 1.0, 120.0, 121.0], np.float32)
+    cam = get_camera(
+        elevation_deg=np.full(4, 10.0, np.float32), distance=np.full(4, 3.0, np.float32),
+        fovy_deg=np.full(4, 45.0, np.float32), azimuth_deg=az, near=0.1, far=10.0,
+    )
+    cam_json = tmp_path / "camera.json"
+    save_camera_json(cam_json, np.asarray(cam.c2w), 45.0, 0.1, 10.0)
+
+    next_cam = get_camera(
+        elevation_deg=np.full(4, 30.0, np.float32), distance=np.full(4, 3.0, np.float32),
+        fovy_deg=np.full(4, 45.0, np.float32), azimuth_deg=az + 5.0, near=0.1, far=10.0,
+    )
+    next_json = tmp_path / "next_camera.json"
+    save_camera_json(next_json, np.asarray(next_cam.c2w), 45.0, 0.1, 10.0)
+
+    mesh = load_mesh(str(glb), flip_uv=True)
+    frames = np.asarray(
+        render(mesh, cam, RES, RES, render_attr=True, render_depth=False,
+               render_normal=False, attr_background=0.0).attr
+    )
+    video = tmp_path / "footage.mp4"
+    writer = cv2.VideoWriter(str(video), cv2.VideoWriter_fourcc(*"mp4v"), 10, (RES, RES))
+    for f in frames:
+        writer.write(cv2.cvtColor((np.clip(f, 0, 1) * 255).astype(np.uint8),
+                                  cv2.COLOR_RGB2BGR))
+    writer.release()
+
+    out_dir = tmp_path / "out"
+    project_and_render(
+        mesh_path=glb, video_path=video, output_dir=out_dir,
+        height=RES, width=RES, uv_size=64, max_frames=4,
+        camera_json=cam_json, next_camera_json=next_json,
+        keyframe_selection=True, keyframe_t_position=0.5, keyframe_t_rotation=0.5,
+        uv_unwarp=False,
+    )
+    # keyframes -> only 2 projected/rendered frames, along the NEXT trajectory
+    assert (out_dir / "rgb" / "rgb_00001.png").exists()
+    assert not (out_dir / "rgb" / "rgb_00002.png").exists()
+    assert (out_dir / "depth" / "depth_00001.png").exists()
