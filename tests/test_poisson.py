@@ -92,3 +92,42 @@ def test_poisson_grad_modes_run(rng, grad_mode):
     out = np.asarray(poisson_blend(src, mask, tgt, num_iters=200, grad_mode=grad_mode))
     assert np.isfinite(out).all()
     assert out.shape == src.shape
+
+
+def test_multigrid_approximates_jacobi(rng):
+    h = w = 64
+    src = rng.random((h, w, 3)).astype(np.float32) * 0.5 + 0.25
+    tgt = rng.random((h, w, 3)).astype(np.float32) * 0.5 + 0.25
+    mask = np.zeros((h, w), bool)
+    mask[8:56, 8:56] = True
+    from worldrenderer_tpu.ops.poisson import poisson_blend_multigrid
+
+    exact = np.asarray(poisson_blend(src, mask, tgt, num_iters=8000))
+    mg = np.asarray(poisson_blend_multigrid(src, mask, tgt, num_iters=80))
+    err = np.abs(exact - mg)[mask]
+    assert err.mean() < 0.02, f"multigrid mean err {err.mean()}"
+    # untouched outside
+    np.testing.assert_array_equal(mg[~mask], tgt[~mask])
+
+
+def test_cropped_matches_full(rng):
+    from worldrenderer_tpu.ops.poisson import poisson_blend_cropped
+
+    h = w = 96
+    src = rng.random((h, w, 3)).astype(np.float32)
+    tgt = rng.random((h, w, 3)).astype(np.float32)
+    mask = np.zeros((h, w), bool)
+    mask[10:30, 40:70] = True
+    full = np.asarray(poisson_blend(src, mask, tgt, num_iters=500))
+    crop = np.asarray(
+        poisson_blend_cropped(src, mask, tgt, num_iters=500, bucket=32)
+    )
+    np.testing.assert_allclose(crop, full, atol=1e-4)
+
+
+def test_cropped_empty_mask(rng):
+    from worldrenderer_tpu.ops.poisson import poisson_blend_cropped
+
+    tgt = rng.random((16, 16, 3)).astype(np.float32)
+    out = np.asarray(poisson_blend_cropped(tgt, np.zeros((16, 16), bool), tgt))
+    np.testing.assert_array_equal(out, tgt)

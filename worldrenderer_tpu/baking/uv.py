@@ -18,7 +18,11 @@ from ..camera import Camera, normalize
 from ..mesh import TexturedMesh, with_normals
 from ..ops import grid_sample, interpolate, rasterize
 from ..ops.image import inpaint, max_pool2d, sobel_grad_magnitude
-from ..ops.poisson import poisson_blend
+from ..ops.poisson import (
+    poisson_blend,
+    poisson_blend_cropped,
+    poisson_blend_multigrid,
+)
 from ..ops.rasterize import DEFAULT_CONFIG, RasterizerConfig
 from ..render import SimpleNormalization, render
 from ..transforms import get_clip_space_position
@@ -334,9 +338,15 @@ def uv_blend(
     pb_num_iters: int = 1000,
     pb_keep_original_border: bool = True,
     pb_grad_mode: str = "src",
+    pb_solver: str = "jacobi",
 ) -> UVBlendOutput:
     """Weighted multi-view blend into one texture, with optional Poisson
-    seam blending and UV gutter padding (reference uv.py:385-468)."""
+    seam blending and UV gutter padding (reference uv.py:385-468).
+
+    pb_solver: 'jacobi' (exact reference math, blend.py:90-99), 'multigrid'
+    (coarse-to-fine cascade, visually equivalent — pb_num_iters then counts
+    sweeps PER LEVEL, typical 60-100), or 'cropped' (solve only the mask
+    bounding box; requires concrete host-driven arrays)."""
     del empty_value
     pre = uv_precompute_output
     uv_valid_mask = uv_validity_strategy(
@@ -380,7 +390,15 @@ def uv_blend(
         else:
             hard_stitch = uv_attr_blend * blend_f + pre.uv_attr * (1.0 - blend_f)
             pb_tgt = uv_padding(hard_stitch, pre.uv_mask, uv_padding_radius)
-        uv_attr_blend = poisson_blend(
+        if pb_solver == "jacobi":
+            pb_fn = poisson_blend
+        elif pb_solver == "multigrid":
+            pb_fn = poisson_blend_multigrid
+        elif pb_solver == "cropped":
+            pb_fn = poisson_blend_cropped
+        else:
+            raise ValueError(f"unknown pb_solver {pb_solver!r}")
+        uv_attr_blend = pb_fn(
             uv_attr_blend_padded,
             uv_valid_mask_blend,
             pb_tgt,

@@ -12,7 +12,12 @@ from .image import (
     sobel_grad_magnitude,
 )
 from .interpolate import interpolate
-from .poisson import PoissonBlendingSolver, poisson_blend
+from .poisson import (
+    PoissonBlendingSolver,
+    poisson_blend,
+    poisson_blend_cropped,
+    poisson_blend_multigrid,
+)
 from .rasterize import RasterizerConfig, rasterize
 from .tensor import (
     c2w_to_polar,
@@ -56,5 +61,7 @@ __all__ = [
     "inpaint",
     "batch_inpaint",
     "poisson_blend",
+    "poisson_blend_cropped",
+    "poisson_blend_multigrid",
     "PoissonBlendingSolver",
 ]
