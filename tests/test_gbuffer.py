@@ -31,7 +31,7 @@ def scene():
     return mesh, pos_clip
 
 
-@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
+@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas", "vpu_pallas"])
 def test_gbuffer_matches_classic(scene, backend):
     mesh, pos_clip = scene
     tri = mesh.t_pos_idx
@@ -77,7 +77,7 @@ def test_gbuffer_no_attr(scene):
     )
 
 
-@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
+@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas", "vpu_pallas"])
 def test_render_fused_matches_classic(backend):
     from worldrenderer_tpu.mesh import uv_sphere_mesh
     from worldrenderer_tpu.render import render
@@ -116,7 +116,7 @@ def test_render_fused_matches_classic(backend):
     )
 
 
-@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
+@pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas", "vpu_pallas"])
 def test_fused_flat_binning_large_mesh(backend):
     """Meshes above the sort_pairs threshold route through the flat
     contiguous-slice gather — must match the classic exact path."""

@@ -306,7 +306,15 @@ def _gbuffer_single(
         )
         coeffs = _gather_tile_rows(all_planes, setup.valid, ids, origin)
 
-    if config.backend == "fused_pallas":
+    if config.backend == "vpu_pallas":
+        from .gbuffer_pallas import zattr_tiles_vpu
+
+        # Exact fp32 broadcast-FMA path — no MXU, no precision knob,
+        # no T < 2^16 id limit (see gbuffer_pallas._kernel_vpu).
+        z_t, id_t, v_t = zattr_tiles_vpu(
+            coeffs, counts, n_attr + 1, tile_h, tile_w, config.chunk,
+        )
+    elif config.backend == "fused_pallas":
         from .gbuffer_pallas import zattr_tiles_pallas
 
         prec = config.dot_precision

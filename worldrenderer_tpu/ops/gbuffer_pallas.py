@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["zattr_tiles_pallas"]
+__all__ = ["zattr_tiles_pallas", "zattr_tiles_vpu"]
 
 _BIG_Z = 3.0e38
 _BIG_SLOT = 2**30
@@ -110,6 +110,176 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
     v_out[0, :, :] = vbuf
 
 
+def _kernel_vpu(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c,
+                n_vals, tile_h, tile_w, sub_p):
+    """VPU formulation: pixels on SUBLANES, the chunk's triangles on LANES.
+
+    The MXU path evaluates planes as (r*c, 3) @ (3, P) dots whose
+    contraction dim (3) pads to the full 128-deep systolic array — 3/128
+    utilization. Here each plane is two broadcast FMAs on the VPU:
+        e[p, t] = lx[p, t] * alpha[1, t] + ly[p, t] * beta[1, t] + gamma[1, t]
+    with alpha/beta/gamma read directly as (1, c) lane vectors from the
+    coef-major layout (no transpose). Exact fp32 — no split_bf16 passes and
+    no T < 2^16 id limit. The constant-id plane needs no evaluation at all:
+    its gamma row IS the id lane vector.
+
+    Measured (v5e, 6-view 512^2, 10k tris): ~10x SLOWER than the MXU path —
+    Mosaic lowers the broadcast FMA chains far below VPU peak. Kept as an
+    exact-fp32 on-chip validation backend (e.g. to check split_bf16 renders
+    without a CPU round-trip), not as a performance path.
+
+    Winner selection keeps per-LANE-SLOT running (z, id, attr) buffers
+    updated elementwise each chunk; one cross-lane min/min/mask-sum per tile
+    at the end. Flat-segment entries ascend by triangle id, so a strict
+    z < zbuf update preserves the reference's lowest-id tie-break within a
+    slot, and the final cross-lane id-min handles ties across slots.
+    """
+    p = tile_h * tile_w
+    r = 5 + n_vals
+    n_chunks = nchunks_ref[pl.program_id(0)]
+
+    z_parts, id_parts, v_parts = [], [], []
+    for s in range(p // sub_p):
+        pix = jax.lax.broadcasted_iota(jnp.int32, (sub_p, c), 0) + s * sub_p
+        lx = (pix % tile_w).astype(jnp.float32) + 0.5
+        ly = (pix // tile_w).astype(jnp.float32) + 0.5
+
+        def body(ci, carry):
+            zbuf, idbuf, vbuf = carry  # (sub_p, c), (sub_p, c), (sub_p, c*n_vals)
+            base = ci * (r * c)
+
+            def ev(b):
+                v3 = coeffs_ref[0, :, pl.ds(pl.multiple_of(base + b * c, 128), c)]
+                return lx * v3[0:1] + ly * v3[1:2] + v3[2:3]  # (sub_p, c)
+
+            e0 = ev(0)
+            e1 = ev(1)
+            e2 = ev(2)
+            z = ev(3)
+            idrow = coeffs_ref[
+                0, 2, pl.ds(pl.multiple_of(base + 4 * c, 128), c)
+            ].reshape(1, c)
+            cov = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (z >= -1.0) & (z <= 1.0)
+            )
+            zc = jnp.where(cov, z, _BIG_Z)
+            upd = zc < zbuf
+            zbuf = jnp.where(upd, zc, zbuf)
+            idbuf = jnp.where(upd, jnp.broadcast_to(idrow, (sub_p, c)), idbuf)
+            new_v = [
+                jnp.where(upd, ev(5 + vi), vbuf[:, vi * c : (vi + 1) * c])
+                for vi in range(n_vals)
+            ]
+            return zbuf, idbuf, jnp.concatenate(new_v, axis=1)
+
+        init = (
+            jnp.full((sub_p, c), _BIG_Z, jnp.float32),
+            jnp.full((sub_p, c), jnp.float32(_BIG_SLOT), jnp.float32),
+            jnp.zeros((sub_p, c * n_vals), jnp.float32),
+        )
+        zbuf, idbuf, vbuf = jax.lax.fori_loop(0, n_chunks, body, init)
+
+        zmin = jnp.min(zbuf, axis=1, keepdims=True)  # (sub_p, 1)
+        idc = jnp.where(zbuf == zmin, idbuf, jnp.float32(_BIG_SLOT))
+        idmin = jnp.min(idc, axis=1, keepdims=True)
+        winner = (zbuf == zmin) & (idbuf == idmin)
+        z_parts.append(jnp.where(zmin >= _BIG_Z, jnp.inf, zmin))
+        id_parts.append(idmin)
+        v_parts.append(
+            jnp.concatenate(
+                [
+                    jnp.sum(
+                        jnp.where(winner, vbuf[:, vi * c : (vi + 1) * c], 0.0),
+                        axis=1, keepdims=True,
+                    )
+                    for vi in range(n_vals)
+                ],
+                axis=1,
+            )
+        )
+
+    z_out[0, :, :] = jnp.concatenate(z_parts, axis=0)
+    id_out[0, :, :] = jnp.concatenate(id_parts, axis=0)
+    v_out[0, :, :] = jnp.concatenate(v_parts, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def zattr_tiles_vpu(
+    coeffs: jnp.ndarray,  # (n_tiles, 3, R*K) coef-major, R = 5 + n_vals
+    counts: jnp.ndarray,  # (n_tiles,) live-entry counts (contiguous prefix)
+    n_vals: int,
+    tile_h: int,
+    tile_w: int,
+    chunk: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """VPU-path twin of :func:`zattr_tiles_pallas` (see _kernel_vpu)."""
+    n_tiles, _, rk = coeffs.shape
+    r = 5 + n_vals
+    k = rk // r
+    c = max(128, (chunk // 128) * 128)
+    pad = (-k) % c
+    if pad:
+        pad_block = jnp.zeros((n_tiles, 3, r, pad), coeffs.dtype)
+        pad_block = pad_block.at[:, 2, 0, :].set(_BIG_NEG)
+        coeffs = jnp.concatenate(
+            [coeffs.reshape(n_tiles, 3, r, k), pad_block], axis=3
+        ).reshape(n_tiles, 3, r * (k + pad))
+        k += pad
+
+    n_chunks = jnp.ceil(counts.astype(jnp.float32) / c).astype(jnp.int32)
+    nch = k // c
+    coeffs = (
+        coeffs.reshape(n_tiles, 3, r, nch, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n_tiles, 3, r * k)
+    )
+
+    p = tile_h * tile_w
+    sub_p = min(p, 1024)  # bound the (sub_p, c) running buffers' VMEM
+    kernel = functools.partial(
+        _kernel_vpu, k=k, c=c, n_vals=n_vals, tile_h=tile_h, tile_w=tile_w,
+        sub_p=sub_p,
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 3, r * k), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, 1), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, n_vals), lambda i, nc: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    z, idm, vals = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, p, n_vals), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * n_tiles * r * k * p,
+            bytes_accessed=n_tiles * (r * k * 3 * 4 + (n_vals + 2) * p * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_chunks, coeffs)
+    return (
+        z.reshape(n_tiles, tile_h, tile_w),
+        idm.reshape(n_tiles, tile_h, tile_w),
+        vals.transpose(0, 2, 1).reshape(n_tiles, n_vals, tile_h, tile_w),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def zattr_tiles_pallas(
     coeffs: jnp.ndarray,  # (n_tiles, 3, R*K) coef-major, R = 5 + n_vals
@@ -139,6 +309,8 @@ def zattr_tiles_pallas(
 
     # Re-layout block-major (3, r, K) -> chunk-major (3, nch, r, c) so each
     # chunk's rows are contiguous for the fused single-dot kernel.
+    # (Emitting chunk-major directly from the gather was measured SLOWER —
+    # 12 vmapped dynamic slices per tile lose to one slice + fused transpose.)
     nch = k // c
     coeffs = (
         coeffs.reshape(n_tiles, 3, r, nch, c)
