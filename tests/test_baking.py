@@ -162,3 +162,30 @@ def test_uv_blend_without_attr(sphere_mesh, cameras, pre):
     s = w.sum(axis=0)
     anyv = np.asarray(out.uv_valid_mask_blend)
     np.testing.assert_allclose(s[anyv], 1.0, atol=1e-3)
+
+
+@pytest.mark.parametrize("pb_solver", ["jacobi", "multigrid", "cropped"])
+def test_uv_blend_pb_solver_variants(sphere_mesh, cameras, pb_solver):
+    """Poisson seam blending through each solver backend produces a finite
+    texture close to the exact-jacobi result."""
+    views = render(
+        sphere_mesh, cameras, VIEW_RES, VIEW_RES, render_attr=True,
+        render_depth=False, render_normal=False, attr_background=0.0,
+    )
+    pre = uv_precompute(sphere_mesh, UV_SIZE, UV_SIZE)
+    geo = uv_render_geometry(sphere_mesh, cameras, VIEW_RES, VIEW_RES, pre)
+    attr = uv_render_attr(views.attr, geo)
+    kwargs = dict(
+        uv_precompute_output=pre,
+        uv_render_geometry_output=geo,
+        uv_render_attr_output=attr,
+        poisson_blending=True,
+        pb_num_iters=60,
+    )
+    ref = uv_blend(pb_solver="jacobi", **kwargs).uv_attr_blend
+    out = uv_blend(pb_solver=pb_solver, **kwargs).uv_attr_blend
+    assert np.isfinite(np.asarray(out)).all()
+    if pb_solver == "cropped":
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    else:
+        assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.05
