@@ -86,7 +86,10 @@ def test_pad_mesh_to_bucket(small_scene):
     a = render(mesh, cam[0:2], RES, RES, render_attr=True)
     b = render(padded, cam[0:2], RES, RES, render_attr=True)
     np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
-    np.testing.assert_allclose(np.asarray(a.attr), np.asarray(b.attr), atol=1e-6)
+    # Padding crosses the T >= 4096 flat-binning threshold, so the padded
+    # mesh evaluates through the flat gather (few-ULP plane-eval ordering
+    # differences vs the dense gather): tolerance, not exactness.
+    np.testing.assert_allclose(np.asarray(a.attr), np.asarray(b.attr), atol=1e-5)
 
 
 def test_sweep_runner_resume(small_scene, tmp_path):

@@ -154,17 +154,24 @@ def uv_render_geometry(
     if compute_depth_grad:
         view_depth_grad = sobel_grad_magnitude(view_depth)
         view_depth_grad = max_pool2d(view_depth_grad, depth_grad_dilation)
-        uv_depth_grad = grid_sample(
-            view_depth_grad[..., None], uv_pos_ndc, mode=grid_sample_mode
-        )[..., 0]
 
-    uv_pos_proj = grid_sample(view_position, uv_pos_ndc, mode=grid_sample_mode)
+    # All view maps sample at the SAME ndc coords — fuse them into ONE
+    # grid_sample call (gathers are row-count bound on TPU: one 4/5-channel
+    # gather costs ~the same as one 1-channel gather, so separate calls pay
+    # 3x the rows for nothing).
+    stack = [view_position, view_aoi_cos[..., None]]
+    if compute_depth_grad:
+        stack.append(view_depth_grad[..., None])
+    sampled = grid_sample(
+        jnp.concatenate(stack, axis=-1), uv_pos_ndc, mode=grid_sample_mode
+    )
+    uv_pos_proj = sampled[..., :3]
+    uv_aoi_cos = sampled[..., 3]
+    if compute_depth_grad:
+        uv_depth_grad = sampled[..., 4]
     uv_pos_error = jnp.sqrt(
         jnp.sum((uv_pos_proj - pre.uv_pos[None]) ** 2, axis=-1)
     )
-    uv_aoi_cos = grid_sample(
-        view_aoi_cos[..., None], uv_pos_ndc, mode=grid_sample_mode
-    )[..., 0]
 
     return UVRenderGeometryOutput(
         uv_pos_proj=uv_pos_proj,
@@ -197,15 +204,21 @@ def uv_render_attr(
     (reference uv.py:193-222)."""
     ndc = uv_render_geometry_output.uv_pos_ndc
     images = jnp.asarray(images, jnp.float32)
-    uv_attr_proj = grid_sample(images, ndc, mode=grid_sample_mode)
     uv_mask_proj = None
     if masks is not None:
         masks = jnp.asarray(masks, jnp.float32)
         if masks.ndim == 4:
             masks = masks.mean(-1)
-        uv_mask_proj = grid_sample(masks[..., None], ndc, mode=grid_sample_mode)[
-            ..., 0
-        ]
+        # One fused gather for images + mask (same coords, see
+        # uv_render_geometry).
+        sampled = grid_sample(
+            jnp.concatenate([images, masks[..., None]], axis=-1),
+            ndc, mode=grid_sample_mode,
+        )
+        uv_attr_proj = sampled[..., :-1]
+        uv_mask_proj = sampled[..., -1]
+    else:
+        uv_attr_proj = grid_sample(images, ndc, mode=grid_sample_mode)
     return UVRenderAttrOutput(uv_attr_proj=uv_attr_proj, uv_mask_proj=uv_mask_proj)
 
 

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from .rasterize import (
     DEFAULT_CONFIG,
     RasterizerConfig,
+    _auto_cap,
     _bin_dispatch,
     _bin_flat,
     _triangle_setup,
@@ -255,6 +256,9 @@ def _gbuffer_single(
     width: int,
     config: RasterizerConfig,
 ):
+    from .rasterize import _resolve_backend
+
+    config = config._replace(backend=_resolve_backend(config.backend, True))
     tile_h, tile_w = config.tile_h, config.tile_w
     ph = -(-height // tile_h) * tile_h
     pw = -(-width // tile_w) * tile_w
@@ -263,7 +267,7 @@ def _gbuffer_single(
     n_attr = 0 if v_attr is None else v_attr.shape[-1]
 
     setup = _triangle_setup(pos_clip, tri, width, height)
-    max_per_tile = config.max_tris_per_tile or t_total
+    max_per_tile = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
 
     # Constant id plane: evaluating it yields the global triangle id at
     # every pixel (alpha = beta = 0, gamma = id) — winner identity rides

@@ -57,10 +57,16 @@ class RasterizerConfig(NamedTuple):
     tile_h: int = 32
     tile_w: int = 128
     chunk: int = 128
-    # Max binned triangles per tile. None = no binning cap (K = T), always
-    # correct. Smaller values trade worst-case correctness for speed.
+    # Max binned triangles per tile. None = auto: exact (K = T) whenever the
+    # dense coefficient tensor stays within _AUTO_TILE_ENTRY_BUDGET, else a
+    # memory-bounded cap (see _auto_cap; engages above ~1024^2 outputs where
+    # per-tile densities are small anyway). Explicit values trade worst-case
+    # correctness for speed — validate with a doubled-cap coverage check.
     max_tris_per_tile: Optional[int] = None
-    backend: str = "xla"  # "xla" | "pallas" | "fused_xla" | "fused_pallas"
+    # "auto" resolves per platform at trace time: Pallas kernels on TPU,
+    # XLA implementations elsewhere (CPU tests). Explicit values:
+    # "xla" | "pallas" | "fused_xla" | "fused_pallas" | "vpu_pallas".
+    backend: str = "auto"
     # Binning strategy: "sort_pairs" does ONE sort of (tile, tri) replica
     # pairs (fast, used automatically for T >= bin_sort_pairs_min_tris);
     # "argsort" stable-compacts each tile column (simple, cheap for small T).
@@ -84,6 +90,31 @@ class RasterizerConfig(NamedTuple):
 
 
 DEFAULT_CONFIG = RasterizerConfig()
+
+# When max_tris_per_tile is None the per-tile cap K auto-sizes so the dense
+# (n_tiles, 3, R*K) coefficient tensor stays bounded: n_tiles * K entries
+# <= this budget (K = T, exact, whenever that fits — e.g. any mesh at
+# <= 512^2; at 2048^2+ the cap engages, where per-tile densities are tiny).
+# Without a cap, K = T at uv_size 2048 allocates tens of GB and OOMs HBM.
+_AUTO_TILE_ENTRY_BUDGET = 16 * 2**20
+
+
+def _auto_cap(t_total: int, n_tiles: int) -> int:
+    return int(
+        min(t_total, max(2048, _AUTO_TILE_ENTRY_BUDGET // max(n_tiles, 1)))
+    )
+
+
+def _resolve_backend(backend: str, fused: bool) -> str:
+    """Resolve backend="auto" per platform at trace time: Pallas kernels on
+    TPU, XLA implementations elsewhere (CPU golden tests run the same code
+    the TPU kernels are verified against)."""
+    if backend != "auto":
+        return backend
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if fused:
+        return "fused_pallas" if on_tpu else "fused_xla"
+    return "pallas" if on_tpu else "xla"
 
 # Tuned TPU fast path (gather-free fused kernel + flat binning). K is a
 # per-scene knob: it must exceed the worst-case per-tile triangle count
@@ -538,8 +569,31 @@ def _rasterize_single(
     n_ty, n_tx = ph // tile_h, pw // tile_w
     t_total = tri.shape[0]
 
+    config = config._replace(backend=_resolve_backend(config.backend, False))
     setup = _triangle_setup(pos_clip, tri, width, height)
-    max_per_tile = config.max_tris_per_tile or t_total
+    max_per_tile = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
+
+    # At sort_pairs scale, compute z/id through the gbuffer flat path: its
+    # gather touches only the ~4T live (tile, tri) entries, where the dense
+    # ids-matrix gather below materializes (n_tiles, K, 4, 3) — whose
+    # minor-dim-3 TPU layout pads 3 -> 128 lanes (42x; tens of GB at
+    # uv_size 2048, an instant HBM OOM).
+    use_flat = (
+        config.bin_mode == "sort_pairs"
+        and t_total >= config.bin_sort_pairs_min_tris
+        and (n_ty * n_tx + 1) * t_total < 2**31
+    )
+    if use_flat:
+        from .gbuffer import _gbuffer_single
+
+        zid_cfg = config._replace(
+            backend="fused_pallas" if config.backend == "pallas" else "fused_xla"
+        )
+        _, zmap, idmap, _ = _gbuffer_single(
+            pos_clip, tri, None, height, width, zid_cfg
+        )
+        return _resolve_uv(setup, idmap, zmap)
+
     ids, counts = _bin_dispatch(
         setup, width, height, tile_h, tile_w, max_per_tile, config
     )

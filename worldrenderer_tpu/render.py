@@ -247,6 +247,24 @@ def render(
 
     v_pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
 
+    if raster_config.backend == "auto":
+        # Prefer the fused G-buffer path; it requires per-primary-vertex UVs
+        # for attr rendering, so split UV topologies fall back to the classic
+        # rasterize + interpolate pipeline.
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() in ("tpu", "axon")
+        fused_ok = not (
+            render_attr
+            and mesh.v_tex is not None
+            and mesh.v_tex.shape[0] != mesh.v_pos.shape[0]
+        )
+        if fused_ok:
+            backend = "fused_pallas" if on_tpu else "fused_xla"
+        else:
+            backend = "pallas" if on_tpu else "xla"
+        raster_config = raster_config._replace(backend=backend)
+
     if raster_config.backend in ("fused_xla", "fused_pallas"):
         return _render_fused(
             mesh, cam, v_pos_clip, height, width,
