@@ -225,3 +225,42 @@ def test_rasterize_large_mesh_sort_pairs_vs_argsort():
         rasterize(pos_clip, tri, (256, 256), RasterizerConfig(bin_mode="sort_pairs"))
     )
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_huge_triangle_in_sorted_stream():
+    """Triangles whose bbox exceeds the replica span must still rasterize
+    exactly through the flat sort_pairs path: they get per-overlapped-tile
+    replicas sorted into the stream (no prepended block)."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+
+    verts, faces = make_grid_mesh(72)  # 10082 small tris (sort_pairs path)
+    # One screen-filling triangle slightly behind the grid, plus one
+    # mid-size triangle exceeding only the y-span.
+    big = np.array(
+        [[-4.0, -4.0, 0.5], [4.0, -4.0, 0.5], [0.0, 6.0, 0.5]], np.float32
+    )
+    mid = np.array(
+        [[-0.1, -2.0, 0.4], [0.1, -2.0, 0.4], [0.0, 2.0, 0.4]], np.float32
+    )
+    nv = verts.shape[0]
+    verts = np.concatenate([verts, big, mid], axis=0)
+    faces = np.concatenate(
+        [faces, [[nv, nv + 1, nv + 2]], [[nv + 3, nv + 4, nv + 5]]], axis=0
+    ).astype(np.int32)
+    cam = get_camera(
+        elevation_deg=[35.0, -20.0], distance=[3.0, 2.5],
+        fovy_deg=[50.0, 50.0], azimuth_deg=[20.0, 130.0],
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    a = np.asarray(
+        rasterize(pos_clip, tri, (256, 256), RasterizerConfig(bin_mode="argsort"))
+    )
+    b = np.asarray(
+        rasterize(pos_clip, tri, (256, 256), RasterizerConfig(bin_mode="sort_pairs"))
+    )
+    # big tri actually covers most of the frame (far beyond the 4-tile
+    # y-span, so it must route through the huge path)
+    assert (a[..., 3] > 0).mean() > 0.5
+    np.testing.assert_array_equal(a[..., 3], b[..., 3])
+    np.testing.assert_allclose(a, b, atol=1e-5)

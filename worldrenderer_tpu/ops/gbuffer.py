@@ -88,8 +88,8 @@ def _gather_tile_rows_flat(
     vmapped dynamic slices build the dense per-tile blocks — replacing the
     (n_tiles, K)-row gather that dominated the profile (57ms of 85ms).
 
-    Returns (coeffs (n_tiles, 3, R*(G+K)), counts (n_tiles,))."""
-    s_tri, s_tile, starts, counts, huge_ids = flat
+    Returns (coeffs (n_tiles, 3, R*K), counts (n_tiles,))."""
+    s_tri, s_tile, starts, counts = flat
     n_tiles = tile_origin.shape[0]
     r = all_planes.shape[1]
 
@@ -137,29 +137,7 @@ def _gather_tile_rows_flat(
         jnp.where(in_seg, dense[:, 2, 0, :], _BIG_NEG)
     )
 
-    g = huge_ids.shape[0]
-    if g > 0:
-        hraw = all_planes[huge_ids]  # (G, R, 3)
-        hv = valid[huge_ids]
-        ox = tile_origin[:, 0][:, None, None]
-        oy = tile_origin[:, 1][:, None, None]
-        hgamma = hraw[None, ..., 2] + hraw[None, ..., 0] * ox + hraw[None, ..., 1] * oy
-        hgamma = hgamma.at[..., 0].set(
-            jnp.where(hv[None, :], hgamma[..., 0], _BIG_NEG)
-        )  # (n_tiles, G, R)
-        huge_block = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    hraw[None, ..., :2], (n_tiles, g, r, 2)
-                ),
-                hgamma[..., None],
-            ],
-            axis=-1,
-        ).transpose(0, 3, 2, 1)  # (n_tiles, 3, R, G)
-        dense = jnp.concatenate([huge_block, dense], axis=3)
-        used = used + g
-
-    coeffs = dense.reshape(n_tiles, 3, r * (g + k_cap))
+    coeffs = dense.reshape(n_tiles, 3, r * k_cap)
     return coeffs, used
 
 

@@ -272,49 +272,22 @@ def _bin_triangles_sort_pairs(
     sorted elements and the dominant fixed cost per view).
 
     Each triangle contributes up to span_y*span_x replicas covering its
-    bbox's tile range (span_* = span_px / tile size per axis); triangles
-    with a larger bbox go into a shared "huge-triangle" list appended to
-    every tile (winner selection is min-id, so list order is irrelevant
-    for correctness). ``n_huge`` must exceed the number of such oversized
-    triangles or they are dropped — callers validate with the exact path.
-    Returns (n_tiles, K + n_huge) int32 padded with T."""
-    n_ty = -(-height // tile_h)
-    n_tx = -(-width // tile_w)
-    n_tiles = n_ty * n_tx
+    bbox's tile range (span_* = span_px / tile size per axis); up to
+    ``n_huge`` triangles with a larger bbox get per-overlapped-tile
+    replicas sorted into the same stream (see _bin_flat) — further huge
+    triangles are dropped; callers validate with the exact path.
+    Returns (n_tiles, K) int32 padded with T."""
     t_total = setup.valid.shape[0] - 1
-
-    bbox = setup.bbox[:-1]
-    tx0 = jnp.clip(jnp.floor((bbox[:, 0] - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((bbox[:, 1] + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((bbox[:, 2] - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((bbox[:, 3] + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-    on_screen = (
-        (bbox[:, 1] >= 0)
-        & (bbox[:, 0] <= width)
-        & (bbox[:, 3] >= 0)
-        & (bbox[:, 2] <= height)
-        & setup.valid[:-1]
-    )
     flat = _bin_flat(
         setup, width, height, tile_h, tile_w, span_y_max, span_x_max, n_huge
     )
-    s_tri, _, starts, counts, huge_ids = flat
+    s_tri, _, starts, counts = flat
 
     k = min(max_per_tile, t_total)
     j = jnp.arange(k, dtype=jnp.int32)[None, :]
     gather_idx = jnp.clip(starts[:, None] + j, 0, s_tri.shape[0] - 1)
     ids = jnp.where(j < counts[:, None], s_tri[gather_idx], t_total)
     entry_counts = jnp.minimum(counts, k).astype(jnp.int32)
-
-    # Huge triangles PREPENDED to every tile (a prefix layout keeps all live
-    # entries contiguous so kernels can run a dynamic, per-tile trip count
-    # and skip the padded tail).
-    g = huge_ids.shape[0]
-    if g > 0:
-        ids = jnp.concatenate(
-            [jnp.broadcast_to(huge_ids[None], (n_tiles, g)), ids], axis=1
-        )
-        entry_counts = entry_counts + g
     return ids, entry_counts
 
 
@@ -333,11 +306,19 @@ def _bin_flat(
 
     Returns (s_tri (L,) i32 — triangle ids sorted tile-major then ascending,
     sentinel T in the tail; s_tile (L,) i32 with n_tiles for sentinels;
-    starts (n_tiles,) i32 segment offsets; counts (n_tiles,) i32;
-    huge_ids (G,) i32 padded with T). Each tile's live entries are the
-    CONTIGUOUS slice s_tri[starts[t] : starts[t] + counts[t]] — downstream
-    consumers expand per-tile blocks with cheap contiguous dynamic slices
-    instead of row gathers."""
+    starts (n_tiles,) i32 segment offsets; counts (n_tiles,) i32).
+    Each tile's live entries are the CONTIGUOUS slice
+    s_tri[starts[t] : starts[t] + counts[t]] — downstream consumers expand
+    per-tile blocks with cheap contiguous dynamic slices instead of row
+    gathers.
+
+    Triangles whose bbox exceeds the replica span (up to ``n_huge`` of
+    them, lowest ids first; the rest are dropped — callers validate with
+    the exact path) get one replica PER OVERLAPPED TILE sorted into the
+    same stream. This keeps every tile's list exactly its live set —
+    the earlier design prepended a fixed n_huge-slot block (mostly
+    sentinels) to EVERY tile, which tripled the kernel's chunk count on
+    typical scenes."""
     n_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)
     n_tiles = n_ty * n_tx
@@ -360,6 +341,7 @@ def _bin_flat(
     huge = (span_x > span_x_max) | (span_y > span_y_max)
     small = on_screen & ~huge
 
+    sentinel = jnp.int32(n_tiles) * jnp.int32(t_total)
     tri_idx = jnp.arange(t_total, dtype=jnp.int32)
     # Replica pairs: key = tile * T + tri (tile-major; sentinel tiles last).
     keys = []
@@ -367,8 +349,30 @@ def _bin_flat(
         for sx in range(span_x_max):
             tile = (ty0 + sy) * n_tx + (tx0 + sx)
             valid = small & (sx < span_x) & (sy < span_y)
-            keys.append(jnp.where(valid, tile, n_tiles) * t_total + tri_idx)
+            keys.append(jnp.where(valid, tile * t_total + tri_idx, sentinel))
     keys = jnp.concatenate(keys)  # (T * span_y_max * span_x_max,)
+
+    g = min(n_huge, t_total) if n_huge > 0 else 0
+    if g > 0:
+        prio = jnp.where(huge & on_screen, t_total - tri_idx, 0)
+        top_vals, top_idx = jax.lax.top_k(prio, g)
+        hid = jnp.clip(top_idx.astype(jnp.int32), 0, t_total - 1)  # (G,)
+        hvalid = top_vals > 0
+        tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+        tyi = tiles // n_tx
+        txi = tiles % n_tx
+        hov = (
+            hvalid[:, None]
+            & (txi[None, :] >= tx0[hid][:, None])
+            & (txi[None, :] <= tx1[hid][:, None])
+            & (tyi[None, :] >= ty0[hid][:, None])
+            & (tyi[None, :] <= ty1[hid][:, None])
+        )  # (G, n_tiles)
+        hkeys = jnp.where(
+            hov, tiles[None, :] * t_total + hid[:, None], sentinel
+        )
+        keys = jnp.concatenate([keys, hkeys.reshape(-1)])
+
     keys = jnp.sort(keys)
     if flat_cap_factor > 0:
         # Truncate the (sentinel-heavy) tail so downstream gathers touch
@@ -378,22 +382,15 @@ def _bin_flat(
     s_tri = (keys % t_total).astype(jnp.int32)
     s_tri = jnp.where(s_tile < n_tiles, s_tri, t_total)
 
-    # Per-tile segment starts/counts without searchsorted: one compare-sum.
-    counts = jnp.sum(
-        s_tile[None, :] == jnp.arange(n_tiles, dtype=jnp.int32)[:, None], axis=1
+    # Per-tile segment starts/counts: binary search on the sorted tile ids
+    # (the earlier one-compare-sum was O(n_tiles * L) — fine at 512^2 but
+    # quadratic pain at UV-atlas tile counts).
+    bounds = jnp.searchsorted(
+        s_tile, jnp.arange(n_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
-    )
-
-    g = min(n_huge, t_total) if n_huge > 0 else 0
-    if g > 0:
-        prio = jnp.where(huge & on_screen, t_total - tri_idx, 0)
-        top_vals, top_idx = jax.lax.top_k(prio, g)
-        huge_ids = jnp.where(top_vals > 0, top_idx.astype(jnp.int32), t_total)
-    else:
-        huge_ids = jnp.zeros((0,), jnp.int32)
-    return s_tri, s_tile, starts, counts, huge_ids
+    starts = bounds[:-1]
+    counts = bounds[1:] - bounds[:-1]
+    return s_tri, s_tile, starts, counts
 
 
 _BIG_NEG = -3.0e38
