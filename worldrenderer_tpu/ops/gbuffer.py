@@ -141,6 +141,152 @@ def _gather_tile_rows_flat(
     return coeffs, used
 
 
+def _flat_chunks(
+    setup,
+    tri: jnp.ndarray,
+    v_attr,
+    flat,  # _bin_flat output
+    k_cap: int,
+    n_tx: int,
+    tile_w: int,
+    tile_h: int,
+    c: int,
+    l_cap: int,
+):
+    """Build the 128-aligned chunked flat coefficient lists consumed by the
+    DMA kernel (gbuffer_pallas.gbuffer_tiles_dma).
+
+    Each tile's (capped) segment of the sorted flat list is re-laid-out at a
+    c-aligned start so the kernel can DMA (chunk-index * c)-offset slices.
+    The position -> source mapping is pure gather (no scatter): a position p
+    belongs to tile ptile(p) = searchsorted(aligned_starts, p) - 1 and reads
+    source entry starts[ptile] + (p - aligned_starts[ptile]) when in range,
+    else the sentinel triangle T.
+
+    Returns:
+      planes_flat (3, NCH*4c) — per chunk [e0|e1|e2|z] blocks, coef-major,
+          constants rebased to the owning tile's origin, invalid entries'
+          e0 constant = -BIG;
+      sel_flat (m_sel, NCH*c) — per chunk select rows
+          [id, z_a, z_b, z_g, (a, b, g) per attribute value];
+      start_chunks (n_tiles,) i32; n_chunks (n_tiles,) i32.
+    """
+    s_tri, s_tile, starts, counts = flat
+    t_total = setup.valid.shape[0] - 1
+    n_tiles = starts.shape[0]
+
+    if v_attr is not None:
+        attr_planes = _attr_planes(setup, tri, v_attr)  # (T+1, A+1, 3)
+    else:
+        attr_planes = jnp.zeros((t_total + 1, 1, 3), jnp.float32)
+    nv = attr_planes.shape[1]
+
+    counts_c = jnp.minimum(counts, k_cap).astype(jnp.int32)
+    aligned = (-(-counts_c // c) * c).astype(jnp.int32)
+    astarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
+    )
+
+    # Per-CHUNK mapping (l_cap // c chunks), not per-position: a 56k-query
+    # searchsorted plus per-position table gathers measured ~3.5 ms/view on
+    # v5e (random gathers are ~7 ns/element). Each chunk's source entries
+    # are CONTIGUOUS in the sorted flat list, so one tiny searchsorted over
+    # chunks + vmapped contiguous dynamic slices replace them all.
+    nch_total = l_cap // c
+    start_chunks = astarts // c
+    qidx = jnp.arange(nch_total, dtype=jnp.int32)
+    chunk_tile = jnp.clip(
+        jnp.searchsorted(start_chunks, qidx, side="right").astype(jnp.int32)
+        - 1,
+        0,
+        n_tiles - 1,
+    )  # (NCH,)
+    chunk_rank = qidx - start_chunks[chunk_tile]
+    s_tri_pad = jnp.concatenate(
+        [s_tri, jnp.full((c,), t_total, jnp.int32)]
+    )
+    csrc = jnp.clip(
+        starts[chunk_tile] + chunk_rank * c, 0, s_tri_pad.shape[0] - c
+    )
+    ccount = counts_c[chunk_tile] - chunk_rank * c  # live lanes in chunk
+
+    ids2d = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(s_tri_pad, (s,), (c,))
+    )(csrc)  # (NCH, c)
+    lane = jnp.arange(c, dtype=jnp.int32)[None, :]
+    live2d = lane < ccount[:, None]
+    flat_ids = jnp.where(live2d, ids2d, t_total).reshape(l_cap)
+
+    # ONE fused record gather per entry: 4 geometry planes, the triangle id,
+    # the attribute planes, validity. Everything after the gather keeps
+    # l_cap on the LANE dim — per-entry layouts like (l_cap, 4, 3) tile
+    # their (4, 3) minor dims to (8, 128) on TPU, a ~85x VMEM/HBM blowup.
+    record = jnp.concatenate(
+        [
+            setup.planes.reshape(t_total + 1, 12),
+            jnp.arange(t_total + 1, dtype=jnp.float32)[:, None],
+            attr_planes.reshape(t_total + 1, nv * 3),
+            setup.valid[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+    rec_t = record[flat_ids].T  # (14 + 3nv, l_cap): gather rows, ONE transpose
+    p12 = rec_t[:12].reshape(4, 3, l_cap)
+    pa = p12[:, 0]  # (4, l_cap) alpha of e0, e1, e2, z
+    pb = p12[:, 1]
+    pgm = p12[:, 2]
+    idv = rec_t[12:13]  # (1, l_cap)
+    ap3 = rec_t[13 : 13 + 3 * nv].reshape(nv, 3, l_cap)
+    validv = rec_t[-1] > 0.5  # (l_cap,)
+
+    ox = jnp.broadcast_to(
+        ((chunk_tile % n_tx) * tile_w).astype(jnp.float32)[:, None],
+        (nch_total, c),
+    ).reshape(1, l_cap)
+    oy = jnp.broadcast_to(
+        ((chunk_tile // n_tx) * tile_h).astype(jnp.float32)[:, None],
+        (nch_total, c),
+    ).reshape(1, l_cap)
+    pg = pgm + pa * ox + pb * oy  # (4, l_cap) rebased constants
+    pg = pg.at[0].set(jnp.where(validv, pg[0], _BIG_NEG))
+    ag = ap3[:, 2] + ap3[:, 0] * ox + ap3[:, 1] * oy  # (nv, l_cap)
+
+    # Coef dim padded 3 -> 4 (zero row): DMA slice shapes must align to the
+    # sublane tiling; the kernel's B matrix carries a matching zero row.
+    planes_flat = jnp.stack(
+        [pa, pb, pg, jnp.zeros_like(pg)], axis=0
+    )  # (4 coef, 4 row, l_cap)
+    planes_flat = (
+        planes_flat.reshape(4, 4, nch_total, c)
+        .transpose(0, 2, 1, 3)
+        .reshape(4, nch_total * 4 * c)
+    )
+
+    m_sel = 4 + 3 * nv
+    m_pad = -(-m_sel // 8) * 8
+    val_rows = jnp.stack([ap3[:, 0], ap3[:, 1], ag], axis=1).reshape(
+        3 * nv, l_cap
+    )  # (a, b, g) per value
+    sel_flat = jnp.concatenate(
+        [
+            idv,
+            pa[3:4],
+            pb[3:4],
+            pg[3:4],
+            val_rows,
+            jnp.zeros((m_pad - m_sel, l_cap), jnp.float32),
+        ],
+        axis=0,
+    )  # (m_pad, l_cap) chunk-contiguous
+
+    return (
+        planes_flat,
+        sel_flat,
+        start_chunks.astype(jnp.int32),
+        (aligned // c).astype(jnp.int32),
+    )
+
+
 def _gather_tile_rows(
     all_planes: jnp.ndarray,  # (T+1, R, 3) rows: e0,e1,e2,z, attr..., den
     valid: jnp.ndarray,  # (T+1,)
@@ -345,9 +491,89 @@ def _gbuffer_single(
     return mask, z, tri_id, attr
 
 
+def _gbuffer_dma_batched(pos, tri, v_attr, height, width, config):
+    """v2 fast path: vmapped host prep (setup/bin/aligned flat lists) + ONE
+    batched DMA kernel over the (views, tiles) grid; outputs land directly
+    in image layout (no detile pass)."""
+    from .gbuffer_pallas import gbuffer_tiles_dma
+
+    tile_h, tile_w = config.tile_h, config.tile_w
+    ph = -(-height // tile_h) * tile_h
+    pw = -(-width // tile_w) * tile_w
+    n_ty, n_tx = ph // tile_h, pw // tile_w
+    n_tiles = n_ty * n_tx
+    t_total = tri.shape[0]
+    n_attr = 0 if v_attr is None else v_attr.shape[-1]
+    nv = n_attr + 1 if v_attr is not None else 1
+
+    c = max(128, (config.chunk // 128) * 128)
+    k_cap = min(
+        config.max_tris_per_tile or _auto_cap(t_total, n_tiles), t_total
+    )
+    cap_factor = config.bin_flat_cap_factor
+    span = config.bin_span_tiles_y * config.bin_span_tiles_x
+    l_keys = t_total * span + (
+        min(config.bin_huge, t_total) * n_tiles if config.bin_huge > 0 else 0
+    )
+    if cap_factor > 0:
+        l_keys = min(l_keys, cap_factor * t_total)
+    # Upper bound on the sum of c-aligned (capped) segment lengths.
+    l_cap = min(l_keys + n_tiles * (c - 1), n_tiles * (-(-k_cap // c) * c))
+    l_cap = -(-l_cap // c) * c
+
+    def prep(pos_clip):
+        setup = _triangle_setup(pos_clip, tri, width, height)
+        flat = _bin_flat(
+            setup, width, height, tile_h, tile_w,
+            config.bin_span_tiles_y, config.bin_span_tiles_x,
+            config.bin_huge, cap_factor,
+        )
+        return _flat_chunks(
+            setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap
+        )
+
+    planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos)
+
+    prec = config.dot_precision
+    if prec == "split_bf16" and t_total >= 2**16:
+        prec = "highest"  # id exactness limit of the 2-pass bf16 select
+    z, idm, vals = gbuffer_tiles_dma(
+        planes_flat, sel_flat, start_chunks, n_chunks,
+        nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],
+    )
+    z = z[:, :height, :width]
+    idm = idm[:, :height, :width]
+    mask = jnp.isfinite(z) & (idm < jnp.float32(_BIG_SLOT))
+    z = jnp.where(mask, z, 0.0)
+    tri_id = jnp.where(mask, idm.astype(jnp.int32) + 1, 0)
+
+    attr = None
+    if v_attr is not None:
+        vals = vals[:, :, :height, :width]  # (B, A+1, H, W)
+        den = vals[:, -1]
+        den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
+        attr = jnp.where(
+            mask[:, None], vals[:, :-1] / den[:, None], 0.0
+        ).transpose(0, 2, 3, 1)
+    return mask, z, tri_id, attr
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def _gbuffer_batched(pos, tri, v_attr, resolution, config):
+    from .rasterize import _resolve_backend
+
     height, width = resolution
+    config = config._replace(backend=_resolve_backend(config.backend, True))
+    tile_h, tile_w = config.tile_h, config.tile_w
+    n_tiles = (-(-height // tile_h)) * (-(-width // tile_w))
+    t_total = tri.shape[0]
+    use_flat = (
+        config.bin_mode == "sort_pairs"
+        and t_total >= config.bin_sort_pairs_min_tris
+        and (n_tiles + 1) * t_total < 2**31
+    )
+    if config.backend == "fused_pallas" and use_flat:
+        return _gbuffer_dma_batched(pos, tri, v_attr, height, width, config)
     return jax.vmap(
         lambda p: _gbuffer_single(p, tri, v_attr, height, width, config)
     )(pos)

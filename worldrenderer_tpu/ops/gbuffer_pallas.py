@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["zattr_tiles_pallas", "zattr_tiles_vpu"]
+__all__ = ["zattr_tiles_pallas", "zattr_tiles_vpu", "gbuffer_tiles_dma"]
 
 _BIG_Z = 3.0e38
 _BIG_SLOT = 2**30
@@ -360,3 +360,264 @@ def zattr_tiles_pallas(
         idm.reshape(n_tiles, tile_h, tile_w),
         vals.reshape(n_tiles, n_vals, tile_h, tile_w),
     )
+
+
+def _kernel_dma(
+    start_ref,  # (B, n_tiles) i32 scalar-prefetch: first chunk index per tile
+    nch_ref,  # (B, n_tiles) i32 scalar-prefetch: chunk count per tile
+    planes_hbm,  # (B, 4, NCH*4c) f32 in HBM: per chunk [e0|e1|e2|z],
+    #               coef-major with a zero 4th coef row (DMA tiling pad)
+    sel_hbm,  # (B, m_pad, NCH*c) f32 in HBM: per chunk select rows
+    z_out,  # (1, th, tw)
+    id_out,  # (1, th, tw)
+    v_out,  # (1, n_vals, th, tw)
+    pbuf,  # VMEM (2, 4, 4c) double-buffered plane coefficients
+    sbuf,  # VMEM (2, m_pad, c) double-buffered select rows
+    psem,
+    ssem,
+    *,
+    c,
+    n_vals,
+    m_sel,
+    tile_h,
+    tile_w,
+    dot_precision,
+):
+    """Fused z/id/attr pass, v2: manual double-buffered DMA of the tile's
+    flat 128-aligned coefficient segment + winner-select matmul.
+
+    v1 evaluated every attribute plane at every pixel via (r*c, 3) @ (3, P)
+    matmuls whose contraction dim (3) pads to the MXU's full 128 depth —
+    42x padding waste that scaled with the attribute count. v2 evaluates
+    only the 4 geometry rows (e0, e1, e2, z) per (triangle, pixel), builds
+    the unique first-hit winner mask W (C, P), and SELECTS the winning
+    triangle's attribute-plane coefficients with one (m_sel, C) @ (C, P)
+    matmul — a full-depth contraction — then evaluates the selected planes
+    once per pixel on the VPU at tile end. Attribute cost becomes nearly
+    independent of the attribute count, and values/ids/depth come out
+    fp32-exact (selection is exact; the final eval is an fp32 FMA).
+
+    The first-hit mask (lowest row index among z-ties) equals the
+    reference's min-id tie rule because flat segments ascend by triangle
+    id; across chunks the strict zmin < zbuf update keeps the earlier
+    (lower-id) chunk. Winner uniqueness comes from a lower-triangular
+    ones matmul (inclusive prefix count == 1) — also full-depth MXU.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    base = start_ref[b, i]
+    nch = nch_ref[b, i]
+    p = tile_h * tile_w
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (4, p), 1)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, (4, p), 0)
+    lxf = (flat % tile_w).astype(jnp.float32) + 0.5
+    lyf = (flat // tile_w).astype(jnp.float32) + 0.5
+    b_mat = jnp.where(
+        rowid == 0, lxf,
+        jnp.where(rowid == 1, lyf, jnp.where(rowid == 2, 1.0, 0.0)),
+    )
+    lx = lxf[0:1]  # (1, P)
+    ly = lyf[0:1]
+    tri_lower = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        >= jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(jnp.bfloat16)
+
+    def pdma(slot, ci):
+        return pltpu.make_async_copy(
+            planes_hbm.at[b, :, pl.ds((base + ci) * (4 * c), 4 * c)],
+            pbuf.at[slot],
+            psem.at[slot],
+        )
+
+    def sdma(slot, ci):
+        return pltpu.make_async_copy(
+            sel_hbm.at[b, :, pl.ds((base + ci) * c, c)],
+            sbuf.at[slot],
+            ssem.at[slot],
+        )
+
+    @pl.when(nch > 0)
+    def _():
+        pdma(0, 0).start()
+        sdma(0, 0).start()
+
+    def body(ci, carry):
+        zbuf, idbuf, selbuf = carry
+        slot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < nch)
+        def _():
+            pdma(1 - slot, ci + 1).start()
+            sdma(1 - slot, ci + 1).start()
+
+        pdma(slot, ci).wait()
+        sdma(slot, ci).wait()
+
+        a_t = pbuf[slot]  # (4, 4c); zero 4th coef row pairs with b_mat row 3
+        if dot_precision == "split_bf16":
+            a_hi = a_t.astype(jnp.bfloat16)
+            a_lo = (a_t - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_bf = b_mat.astype(jnp.bfloat16)
+
+            def bf_dot(x):
+                return jax.lax.dot_general(
+                    x, b_bf,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            e_all = bf_dot(a_hi) + bf_dot(a_lo)  # (4c, P)
+        else:
+            e_all = jax.lax.dot_general(
+                a_t, b_mat,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision,
+            )
+
+        e0 = e_all[0:c]
+        e1 = e_all[c : 2 * c]
+        e2 = e_all[2 * c : 3 * c]
+        z = e_all[3 * c : 4 * c]
+        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z >= -1.0) & (z <= 1.0)
+        zc = jnp.where(cov, z, _BIG_Z)
+        zmin = jnp.min(zc, axis=0, keepdims=True)  # (1, P)
+        wpb = zc == zmin  # (C, P) bool; ties possible
+        csum = jax.lax.dot_general(
+            tri_lower, wpb.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # inclusive prefix counts (exact: integers <= C)
+        first = wpb & (csum == 1.0)  # unique first-hit winner
+
+        a_s = sbuf[slot]  # (m_pad, c); rows beyond m_sel are zero padding
+        if dot_precision == "split_bf16":
+            w_bf = first.astype(jnp.bfloat16)
+            s_hi = a_s.astype(jnp.bfloat16)
+            s_lo = (a_s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def sel_dot(x):
+                return jax.lax.dot_general(
+                    x, w_bf,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            sel = sel_dot(s_hi) + sel_dot(s_lo)  # (m_sel, P)
+        else:
+            sel = jax.lax.dot_general(
+                a_s, first.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=dot_precision,
+            )
+
+        upd = zmin < zbuf
+        zbuf = jnp.where(upd, zmin, zbuf)
+        idbuf = jnp.where(upd, sel[0:1], idbuf)
+        selbuf = jnp.where(upd, sel[1:m_sel], selbuf)
+        return zbuf, idbuf, selbuf
+
+    init = (
+        jnp.full((1, p), _BIG_Z, jnp.float32),
+        jnp.full((1, p), jnp.float32(_BIG_SLOT), jnp.float32),
+        jnp.zeros((m_sel - 1, p), jnp.float32),
+    )
+    zbuf, idbuf, selbuf = jax.lax.fori_loop(0, nch, body, init)
+
+    covered = zbuf < _BIG_Z
+    zv = selbuf[0:1] * lx + selbuf[1:2] * ly + selbuf[2:3]  # fp32 winner z
+    z_out[0, :, :] = jnp.where(covered, zv, jnp.inf).reshape(tile_h, tile_w)
+    id_out[0, :, :] = idbuf.reshape(tile_h, tile_w)
+    for vi in range(n_vals):
+        row = (
+            selbuf[3 + 3 * vi : 4 + 3 * vi] * lx
+            + selbuf[4 + 3 * vi : 5 + 3 * vi] * ly
+            + selbuf[5 + 3 * vi : 6 + 3 * vi]
+        )
+        v_out[0, vi, :, :] = row.reshape(tile_h, tile_w)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+def gbuffer_tiles_dma(
+    planes_flat: jnp.ndarray,  # (B, 3, NCH*4c) chunk-major plane coefficients
+    sel_flat: jnp.ndarray,  # (B, m_sel, NCH*c) chunk-major select rows
+    start_chunks: jnp.ndarray,  # (B, n_tiles) i32
+    n_chunks: jnp.ndarray,  # (B, n_tiles) i32
+    n_vals: int,
+    tile_h: int,
+    tile_w: int,
+    n_ty: int,
+    n_tx: int,
+    c: int,
+    dot_precision=jax.lax.Precision.HIGHEST,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched v2 G-buffer kernel over an (views, tiles) grid. The flat
+    coefficient lists stay in HBM; each tile's 128-aligned segment is
+    streamed into VMEM with double-buffered DMA (no dense per-tile
+    expansion in HBM at all). Outputs are written directly in image layout:
+    (B, H, W) z and id, (B, n_vals, H, W) raw attribute values."""
+    bsz, n_tiles = start_chunks.shape
+    m_sel = 4 + 3 * n_vals
+    m_pad = -(-m_sel // 8) * 8
+    assert sel_flat.shape[1] == m_pad, (sel_flat.shape, m_pad)
+    ph, pw = n_ty * tile_h, n_tx * tile_w
+    p = tile_h * tile_w
+
+    kernel = functools.partial(
+        _kernel_dma, c=c, n_vals=n_vals, m_sel=m_sel, tile_h=tile_h,
+        tile_w=tile_w, dot_precision=dot_precision,
+    )
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tile_h, tile_w),
+                lambda b, i, s, n: (b, i // n_tx, i % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, tile_w),
+                lambda b, i, s, n: (b, i // n_tx, i % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, n_vals, tile_h, tile_w),
+                lambda b, i, s, n: (b, 0, i // n_tx, i % n_tx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, 4 * c), jnp.float32),
+            pltpu.VMEM((2, m_pad, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    z, idm, vals = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, ph, pw), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_vals, ph, pw), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n_tiles * 2 * (4 * c + 2 * m_sel + c) * p,
+            bytes_accessed=int(
+                planes_flat.size * 4 + sel_flat.size * 4
+                + bsz * (n_vals + 2) * ph * pw * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(start_chunks, n_chunks, planes_flat, sel_flat)
+    return z, idm, vals
