@@ -24,6 +24,38 @@ N_VIEWS, HEIGHT, WIDTH = 6, 512, 512
 R_INNER = 8  # render iterations per jitted call
 
 
+def check_binning_budgets(pos_clip, tri, resolution, cfg):
+    """G-buffer invariance check under doubled lossy binning budgets
+    (per-tile cap K, flat-list cap factor, huge-list size). Compares z AND
+    tri_id, not just the mask — a dropped triangle hidden behind another
+    changes z/id/attr while leaving coverage untouched. Returns a dict of
+    difference counts; all zero means the budgets are lossless for this
+    scene."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+
+    cfg2 = cfg._replace(
+        max_tris_per_tile=2 * cfg.max_tris_per_tile,
+        bin_flat_cap_factor=2 * cfg.bin_flat_cap_factor,
+        bin_huge=2 * cfg.bin_huge,
+    )
+    capped = rasterize_gbuffer(pos_clip, tri, None, resolution, cfg)
+    doubled = rasterize_gbuffer(pos_clip, tri, None, resolution, cfg2)
+    return {
+        "mask_diff": int(jnp.sum(capped.mask != doubled.mask)),
+        "id_diff": int(jnp.sum(capped.tri_id != doubled.tri_id)),
+        "z_diff": float(
+            jnp.max(
+                jnp.abs(
+                    jnp.where(capped.mask, capped.z, 0.0)
+                    - jnp.where(doubled.mask, doubled.z, 0.0)
+                )
+            )
+        ),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -83,30 +115,24 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(R_INNER))
         return acc
 
-    # Correctness guard: coverage must be invariant to doubling the binning
-    # cap — if K were truncating triangle lists, 2K would change the image.
-    # (Cheaper than compiling the exact K=T path; validated against exact
-    # offline: worst-case per-tile count is 1248 < 1536 for this scene.)
-    cfg2 = cfg._replace(
-        max_tris_per_tile=2 * cfg.max_tris_per_tile,
-        bin_flat_cap_factor=2 * cfg.bin_flat_cap_factor,
+    # Correctness guard: the G-buffer must be invariant to doubling every
+    # lossy binning budget (per-tile cap K, flat-list cap factor, huge-list
+    # size). Comparing z AND tri_id, not just the mask — a dropped triangle
+    # hidden behind another changes z/id/attr while leaving coverage
+    # untouched. (Cheaper than compiling the exact K=T path; validated
+    # against exact offline: worst-case per-tile count is 1248 for this
+    # scene.)
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    diffs = check_binning_budgets(
+        pos_clip, mesh.t_pos_idx, (HEIGHT, WIDTH), cfg
     )
-    capped = render(
-        mesh, cam, HEIGHT, WIDTH, render_attr=False, render_depth=False,
-        render_normal=True, raster_config=cfg,
-    )
-    doubled = render(
-        mesh, cam, HEIGHT, WIDTH, render_attr=False, render_depth=False,
-        render_normal=True, raster_config=cfg2,
-    )
-    mask_diff = float(
-        jnp.mean(
-            jnp.abs(
-                capped.mask.astype(jnp.float32) - doubled.mask.astype(jnp.float32)
-            )
-        )
-    )
-    assert mask_diff < 1e-6, f"binning cap truncates triangle lists: {mask_diff}"
+    assert (
+        diffs["mask_diff"] == 0
+        and diffs["id_diff"] == 0
+        and diffs["z_diff"] < 1e-6
+    ), f"binning budgets truncate triangle lists: {diffs}"
 
     # Latency floor: trivial scalar roundtrip.
     tiny = jax.jit(lambda x: x + 1.0)

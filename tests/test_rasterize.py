@@ -264,3 +264,30 @@ def test_huge_triangle_in_sorted_stream():
     assert (a[..., 3] > 0).mean() > 0.5
     np.testing.assert_array_equal(a[..., 3], b[..., 3])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_binning_budget_guard_catches_lossy_cap():
+    """The doubled-budget z+id guard (bench.check_binning_budgets) must
+    detect an artificially lowered per-tile cap — including drops hidden
+    behind other geometry that leave the coverage mask unchanged."""
+    import sys, pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from bench import check_binning_budgets
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+
+    verts, faces = make_grid_mesh(72)
+    cam = get_camera(
+        elevation_deg=[35.0], distance=[3.0], fovy_deg=[50.0], azimuth_deg=[20.0]
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+
+    ok = check_binning_budgets(pos_clip, tri, (256, 256), FAST_TPU_CONFIG)
+    assert ok["mask_diff"] == 0 and ok["id_diff"] == 0 and ok["z_diff"] < 1e-6
+
+    lossy = check_binning_budgets(
+        pos_clip, tri, (256, 256), FAST_TPU_CONFIG._replace(max_tris_per_tile=64)
+    )
+    assert lossy["id_diff"] > 0 or lossy["mask_diff"] > 0 or lossy["z_diff"] > 1e-6

@@ -12,7 +12,7 @@ def main():
     from worldrenderer_tpu.mesh import TexturedMesh, compute_vertex_normals, make_grid_mesh
     from worldrenderer_tpu.ops import gbuffer as G
     from worldrenderer_tpu.ops.gbuffer_pallas import gbuffer_tiles_dma
-    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, _bin_flat, _triangle_setup, _auto_cap
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, _bin_flat, _triangle_setup_t, _auto_cap
     from worldrenderer_tpu.render import render
     from worldrenderer_tpu.transforms import get_clip_space_position
 
@@ -42,7 +42,7 @@ def main():
     print(f"l_cap={l_cap} ({l_cap//c} chunks capacity)")
 
     def prep(pos_clip):
-        setup = _triangle_setup(pos_clip, tri, WIDTH, HEIGHT)
+        setup = _triangle_setup_t(pos_clip, tri, WIDTH, HEIGHT)
         flat = _bin_flat(setup, WIDTH, HEIGHT, tile_h, tile_w,
                          cfg.bin_span_tiles_y, cfg.bin_span_tiles_x, cfg.bin_huge, cap_factor)
         return G._flat_chunks(setup, tri, v_nrm, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap)

@@ -34,6 +34,7 @@ from .rasterize import (
     _bin_dispatch,
     _bin_flat,
     _triangle_setup,
+    _triangle_setup_t,
     _BIG_NEG,
 )
 
@@ -71,6 +72,35 @@ def _attr_planes(setup, tri: jnp.ndarray, v_attr: jnp.ndarray) -> jnp.ndarray:
                      precision=jax.lax.Precision.HIGHEST)[:, None, :]  # (T, 1, 3)
     planes = jnp.concatenate([num, den], axis=1)  # (T, A+1, 3)
     return jnp.pad(planes, [(0, 1), (0, 0), (0, 0)])
+
+
+def _attr_planes_t(
+    setup_t, tri: jnp.ndarray, v_attr: jnp.ndarray, a3=None
+) -> jnp.ndarray:
+    """Transposed twin of :func:`_attr_planes` for _TriSetupT pipelines:
+    returns ((A+1)*3, T+1) rows [val0_a, val0_b, val0_g, val1_a, ...] with
+    the shared denominator plane last. Same math, (rows, T) orientation.
+    ``a3`` (A, 3, T): pre-gathered per-corner attributes (view-independent —
+    batched callers hoist the gather out of their view vmap)."""
+    t_total = tri.shape[0]
+    n_attr = v_attr.shape[1]
+    if a3 is None:
+        a3 = v_attr[tri.T.reshape(-1)].T.reshape(n_attr, 3, t_total)
+    inv_w = setup_t.inv_w[:, :-1]  # (3, T)
+    ep = setup_t.planes12[:9, :-1].reshape(3, 3, t_total)  # (edge, coef, T)
+    s = a3 * inv_w[None]  # (A, 3, T)
+    num = (
+        s[:, 0][:, None] * ep[0][None]
+        + s[:, 1][:, None] * ep[1][None]
+        + s[:, 2][:, None] * ep[2][None]
+    )  # (A, 3coef, T)
+    den = (
+        inv_w[0] * ep[0] + inv_w[1] * ep[1] + inv_w[2] * ep[2]
+    )  # (3coef, T)
+    rows = jnp.concatenate(
+        [num.reshape(n_attr * 3, t_total), den], axis=0
+    )  # ((A+1)*3, T)
+    return jnp.pad(rows, [(0, 0), (0, 1)])
 
 
 def _gather_tile_rows_flat(
@@ -152,6 +182,7 @@ def _flat_chunks(
     tile_h: int,
     c: int,
     l_cap: int,
+    a3=None,
 ):
     """Build the 128-aligned chunked flat coefficient lists consumed by the
     DMA kernel (gbuffer_pallas.gbuffer_tiles_dma).
@@ -176,10 +207,10 @@ def _flat_chunks(
     n_tiles = starts.shape[0]
 
     if v_attr is not None:
-        attr_planes = _attr_planes(setup, tri, v_attr)  # (T+1, A+1, 3)
+        attr_rows = _attr_planes_t(setup, tri, v_attr, a3)  # ((A+1)*3, T+1)
     else:
-        attr_planes = jnp.zeros((t_total + 1, 1, 3), jnp.float32)
-    nv = attr_planes.shape[1]
+        attr_rows = jnp.zeros((3, t_total + 1), jnp.float32)
+    nv = attr_rows.shape[0] // 3
 
     counts_c = jnp.minimum(counts, k_cap).astype(jnp.int32)
     aligned = (-(-counts_c // c) * c).astype(jnp.int32)
@@ -218,19 +249,20 @@ def _flat_chunks(
     flat_ids = jnp.where(live2d, ids2d, t_total).reshape(l_cap)
 
     # ONE fused record gather per entry: 4 geometry planes, the triangle id,
-    # the attribute planes, validity. Everything after the gather keeps
-    # l_cap on the LANE dim — per-entry layouts like (l_cap, 4, 3) tile
-    # their (4, 3) minor dims to (8, 128) on TPU, a ~85x VMEM/HBM blowup.
-    record = jnp.concatenate(
+    # the attribute planes, validity. Everything before and after the
+    # gather keeps the triangle/entry count on the LANE dim — per-entry
+    # layouts like (l_cap, 4, 3) tile their (4, 3) minor dims to (8, 128)
+    # on TPU, a ~85x VMEM/HBM blowup.
+    record_t = jnp.concatenate(
         [
-            setup.planes.reshape(t_total + 1, 12),
-            jnp.arange(t_total + 1, dtype=jnp.float32)[:, None],
-            attr_planes.reshape(t_total + 1, nv * 3),
-            setup.valid[:, None].astype(jnp.float32),
+            setup.planes12,
+            jnp.arange(t_total + 1, dtype=jnp.float32)[None],
+            attr_rows,
+            setup.valid[None].astype(jnp.float32),
         ],
-        axis=1,
-    )
-    rec_t = record[flat_ids].T  # (14 + 3nv, l_cap): gather rows, ONE transpose
+        axis=0,
+    )  # (14 + 3nv, T+1)
+    rec_t = record_t.T[flat_ids].T  # gather rows, one small + one big transpose
     p12 = rec_t[:12].reshape(4, 3, l_cap)
     pa = p12[:, 0]  # (4, l_cap) alpha of e0, e1, e2, z
     pb = p12[:, 1]
@@ -521,18 +553,33 @@ def _gbuffer_dma_batched(pos, tri, v_attr, height, width, config):
     l_cap = min(l_keys + n_tiles * (c - 1), n_tiles * (-(-k_cap // c) * c))
     l_cap = -(-l_cap // c) * c
 
-    def prep(pos_clip):
-        setup = _triangle_setup(pos_clip, tri, width, height)
+    # Hoist the triangle-corner gathers out of the view vmap: the indices
+    # are view-independent, and gather cost is per-row — ONE (3T, B*4)
+    # gather replaces B (3T, 4) gathers.
+    bsz = pos.shape[0]
+    n_vert = pos.shape[1]
+    vmajor = tri.T.reshape(-1)
+    v_all = (
+        pos.transpose(1, 0, 2).reshape(n_vert, bsz * 4)[vmajor]
+        .T.reshape(bsz, 4, 3, t_total)
+    )
+    a3 = None
+    if v_attr is not None:
+        a3 = v_attr[vmajor].T.reshape(v_attr.shape[1], 3, t_total)
+
+    def prep(pos_clip, v4):
+        setup = _triangle_setup_t(pos_clip, tri, width, height, v4=v4)
         flat = _bin_flat(
             setup, width, height, tile_h, tile_w,
             config.bin_span_tiles_y, config.bin_span_tiles_x,
             config.bin_huge, cap_factor,
         )
         return _flat_chunks(
-            setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap
+            setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,
+            a3=a3,
         )
 
-    planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos)
+    planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos, v_all)
 
     prec = config.dot_precision
     if prec == "split_bf16" and t_total >= 2**16:

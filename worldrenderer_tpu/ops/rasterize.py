@@ -123,6 +123,12 @@ FAST_TPU_CONFIG = RasterizerConfig(
     tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128,
     dot_precision="split_bf16",  # 2-pass bf16, near-fp32 (auto-falls back
     # to true fp32 for meshes with >= 2^16 triangles)
+    # Tighter flat-list/huge budgets than the safe defaults (the aligned
+    # coefficient-list capacity scales with these, and its record gather is
+    # a per-row cost): validate per scene with a doubled-budget check
+    # (bench.py doubles all three and compares z + id + mask).
+    bin_flat_cap_factor=2,
+    bin_huge=64,
 )
 
 
@@ -202,6 +208,107 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
         inv_area=pad(inv_area),
         valid=pad(valid, False),
         bbox=pad(bbox),
+    )
+
+
+class _TriSetupT(NamedTuple):
+    """Transposed (lane-friendly) twin of :class:`_TriSetup` for the fused
+    DMA path: every per-triangle quantity keeps T on the minor (lane) dim.
+    The classic layout's (T, 4, 3) arrays tile their (4, 3) minor dims to
+    (8, 128) on TPU — an ~85x footprint blowup that made triangle setup a
+    0.7 ms/view fixed cost at 10k triangles.
+
+    ``planes12`` rows are [e0_a, e0_b, e0_g, e1_a, ..., z_a, z_b, z_g]
+    (same values as _TriSetup.planes reshaped (T+1, 12), transposed)."""
+
+    planes12: jnp.ndarray  # (12, T+1) f32
+    inv_w: jnp.ndarray  # (3, T+1)
+    inv_area: jnp.ndarray  # (T+1,)
+    valid: jnp.ndarray  # (T+1,)
+    bbox4: jnp.ndarray  # (4, T+1) rows xmin, xmax, ymin, ymax
+
+
+def _bbox_vectors(setup):
+    """(xmin, xmax, ymin, ymax) of live triangles for either setup layout."""
+    if isinstance(setup, _TriSetupT):
+        b = setup.bbox4[:, :-1]
+        return b[0], b[1], b[2], b[3]
+    b = setup.bbox[:-1]
+    return b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+
+
+def _triangle_setup_t(
+    pos_clip: jnp.ndarray,
+    tri: jnp.ndarray,
+    width: int,
+    height: int,
+    v4: Optional[jnp.ndarray] = None,
+) -> _TriSetupT:
+    """Per-view triangle setup in transposed orientation (see _TriSetupT).
+    Same math as :func:`_triangle_setup`; one row-gather + one 2D transpose
+    up front, then every op runs on (rows, T) arrays at full lane width.
+
+    ``v4`` (4, 3, T): pre-gathered clip positions (vertex-major). Batched
+    callers hoist ONE (3T, B*4) gather out of their view vmap — gather cost
+    is per-row, so gathering all views' columns at once is ~B times cheaper
+    than B per-view gathers."""
+    t_total = tri.shape[0]
+    if v4 is None:
+        # One row gather in vertex-major order, one 2D transpose.
+        v4 = pos_clip[tri.T.reshape(-1)].T.reshape(4, 3, t_total)
+    w = v4[3]  # (3, T)
+    valid_w = jnp.all(w > _W_EPS, axis=0)
+    w_safe = jnp.where(jnp.abs(w) < _W_EPS, _W_EPS, w)
+    inv_w = 1.0 / w_safe
+    x = (v4[0] * inv_w + 1.0) * (width * 0.5)  # (3, T)
+    y = (v4[1] * inv_w + 1.0) * (height * 0.5)
+    zw = v4[2] * inv_w
+
+    nxt = jnp.array([1, 2, 0])
+    prv = jnp.array([2, 0, 1])
+    ax = x[nxt]  # (3, T) — sublane permute
+    ay = y[nxt]
+    dx = x[prv] - ax
+    dy = y[prv] - ay
+    area = (x[1] - x[0]) * (y[2] - y[0]) - (y[1] - y[0]) * (x[2] - x[0])
+    sgn = jnp.where(area < 0, -1.0, 1.0)
+    area_abs = jnp.abs(area)
+    valid = valid_w & (area_abs > 0)
+    inv_area = jnp.where(valid, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
+    dxs = dx * sgn[None]
+    dys = dy * sgn[None]
+
+    alpha = -dys  # (3, T)
+    beta = dxs
+    gamma = dys * ax - dxs * ay
+    # z/w plane: z_c = sum_i zw_i * inv_area * edge_plane_i_c.
+    zc = zw * inv_area[None]  # (3, T)
+    z_a = jnp.sum(zc * alpha, axis=0)
+    z_b = jnp.sum(zc * beta, axis=0)
+    z_g = jnp.sum(zc * gamma, axis=0)
+    planes12 = jnp.concatenate(
+        [
+            jnp.stack([alpha[0], beta[0], gamma[0]], axis=0),
+            jnp.stack([alpha[1], beta[1], gamma[1]], axis=0),
+            jnp.stack([alpha[2], beta[2], gamma[2]], axis=0),
+            jnp.stack([z_a, z_b, z_g], axis=0),
+        ],
+        axis=0,
+    )  # (12, T)
+    bbox4 = jnp.stack(
+        [x.min(axis=0), x.max(axis=0), y.min(axis=0), y.max(axis=0)], axis=0
+    )
+
+    def pad(a, fill=0.0):
+        cfg = [(0, 0)] * (a.ndim - 1) + [(0, 1)]
+        return jnp.pad(a, cfg, constant_values=fill)
+
+    return _TriSetupT(
+        planes12=pad(planes12),
+        inv_w=pad(inv_w),
+        inv_area=pad(inv_area),
+        valid=pad(valid, False),
+        bbox4=pad(bbox4),
     )
 
 
@@ -324,16 +431,16 @@ def _bin_flat(
     n_tiles = n_ty * n_tx
     t_total = setup.valid.shape[0] - 1
 
-    bbox = setup.bbox[:-1]
-    tx0 = jnp.clip(jnp.floor((bbox[:, 0] - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((bbox[:, 1] + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((bbox[:, 2] - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((bbox[:, 3] + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+    xmin, xmax, ymin, ymax = _bbox_vectors(setup)
+    tx0 = jnp.clip(jnp.floor((xmin - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((xmax + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((ymin - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((ymax + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
     on_screen = (
-        (bbox[:, 1] >= 0)
-        & (bbox[:, 0] <= width)
-        & (bbox[:, 3] >= 0)
-        & (bbox[:, 2] <= height)
+        (xmax >= 0)
+        & (xmin <= width)
+        & (ymax >= 0)
+        & (ymin <= height)
         & setup.valid[:-1]
     )
     span_x = tx1 - tx0 + 1
