@@ -213,7 +213,7 @@ def _render_fused(
                 ],
                 axis=-1,
             )
-            gb_rgb = aa(gb_rgb, rast_like)
+            gb_rgb = aa(gb_rgb, rast_like, v_pos_clip, mesh.t_pos_idx)
         res["attr"] = gb_rgb
 
     return RenderOutput(**res)
@@ -309,7 +309,7 @@ def render(
         if antialias_attr:
             from .ops.antialias import antialias as aa
 
-            gb_rgb = aa(gb_rgb, rast)
+            gb_rgb = aa(gb_rgb, rast, v_pos_clip, mesh.t_pos_idx)
         out["attr"] = gb_rgb
 
     if render_normal:
