@@ -189,3 +189,34 @@ def test_uv_blend_pb_solver_variants(sphere_mesh, cameras, pb_solver):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
     else:
         assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.05
+
+
+def test_uv_precompute_fast_path_matches_classic():
+    """At atlas scale (T >= sort_pairs threshold) uv_precompute routes
+    through the fused G-buffer (v_pos interpolated over t_pos_idx via
+    tri_attr, no per-pixel gathers); it must match the classic
+    rasterize+interpolate route."""
+    import numpy as np
+
+    from worldrenderer_tpu.baking import uv_precompute
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+    from worldrenderer_tpu.ops.rasterize import RasterizerConfig
+
+    verts, faces, uv = uv_sphere_mesh(65, 129)  # 16k tris
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.zeros((64, 64, 3), jnp.float32),
+    )
+    fast = uv_precompute(mesh, 128, 128)
+    classic = uv_precompute(
+        mesh, 128, 128, raster_config=RasterizerConfig(bin_mode="argsort")
+    )
+    m_f = np.asarray(fast.uv_mask)
+    m_c = np.asarray(classic.uv_mask)
+    assert (m_f != m_c).mean() < 0.002  # edge tie-breaks only
+    both = m_f & m_c
+    err = np.abs(np.asarray(fast.uv_pos)[both] - np.asarray(classic.uv_pos)[both]).max()
+    assert err < 1e-4, err

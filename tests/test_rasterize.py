@@ -224,7 +224,13 @@ def test_rasterize_large_mesh_sort_pairs_vs_argsort():
     b = np.asarray(
         rasterize(pos_clip, tri, (256, 256), RasterizerConfig(bin_mode="sort_pairs"))
     )
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    # u/v: the sort_pairs path computes them from fused attribute planes
+    # (coefficients combined at setup) while argsort recomputes per pixel —
+    # same math, different fp32 rounding route; worst on screen-spanning
+    # triangles. z and ids must agree exactly.
+    np.testing.assert_array_equal(a[..., 3], b[..., 3])
+    np.testing.assert_allclose(a[..., 2], b[..., 2], atol=1e-6)
+    np.testing.assert_allclose(a[..., :2], b[..., :2], atol=1e-4)
 
 
 def test_huge_triangle_in_sorted_stream():
@@ -263,7 +269,13 @@ def test_huge_triangle_in_sorted_stream():
     # y-span, so it must route through the huge path)
     assert (a[..., 3] > 0).mean() > 0.5
     np.testing.assert_array_equal(a[..., 3], b[..., 3])
-    np.testing.assert_allclose(a, b, atol=1e-5)
+    # u/v: the sort_pairs path computes them from fused attribute planes
+    # (coefficients combined at setup) while argsort recomputes per pixel —
+    # same math, different fp32 rounding route; worst on screen-spanning
+    # triangles. z and ids must agree exactly.
+    np.testing.assert_array_equal(a[..., 3], b[..., 3])
+    np.testing.assert_allclose(a[..., 2], b[..., 2], atol=1e-6)
+    np.testing.assert_allclose(a[..., :2], b[..., :2], atol=1e-4)
 
 
 def test_binning_budget_guard_catches_lossy_cap():
@@ -291,3 +303,204 @@ def test_binning_budget_guard_catches_lossy_cap():
         pos_clip, tri, (256, 256), FAST_TPU_CONFIG._replace(max_tris_per_tile=64)
     )
     assert lossy["id_diff"] > 0 or lossy["mask_diff"] > 0 or lossy["z_diff"] > 1e-6
+
+
+def _crossing_err_check(r_j, r_n, edge_tol_frac=0.002):
+    ids_j = np.asarray(r_j)[..., 3].astype(np.int32)
+    ids_n = r_n[..., 3].astype(np.int32)
+    assert (ids_j != ids_n).mean() <= edge_tol_frac
+    same = (ids_j == ids_n) & (ids_n > 0)
+    for c in range(3):
+        err = np.abs(np.asarray(r_j)[..., c][same] - r_n[..., c][same]).max()
+        assert err < 1e-4, f"channel {c}: {err}"
+
+
+def test_near_plane_crossing_ground_quad():
+    """A ground quad passing under and behind the camera (flythrough case):
+    the clipless homogeneous path must match the geometrically-clipped
+    float64 oracle. Reference behavior: nvdiffrast near-plane clipping as
+    wrapped at mvadapter/utils/mesh_utils/render.py:33-62."""
+    verts = np.array(
+        [[-5, -0.5, -5], [5, -0.5, -5], [5, -0.5, 5], [-5, -0.5, 5]],
+        np.float32,
+    )
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    cam = get_camera(
+        elevation_deg=[5.0], distance=[0.8], fovy_deg=[60.0],
+        azimuth_deg=[30.0], near=0.05, far=50.0,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts), cam.mvp_mtx)
+    pc = np.asarray(pos_clip)
+    assert pc[..., 3].min() < 0  # the scene genuinely crosses w = 0
+    r_j = rasterize(
+        pos_clip, jnp.asarray(faces), (128, 128),
+        RasterizerConfig(backend="xla"),
+    )
+    r_n = rasterize_np(pc, faces, (128, 128))
+    assert (r_n[..., 3] > 0).mean() > 0.5  # quad fills most of the frame
+    _crossing_err_check(r_j, r_n)
+
+
+def test_camera_inside_icosphere():
+    """Camera inside closed geometry: every pixel must stay covered (no
+    holes from whole-triangle culling) and match the clipping oracle."""
+    from worldrenderer_tpu.mesh import uv_sphere_mesh
+
+    verts, faces, _ = uv_sphere_mesh(17, 33)
+    cam = get_camera(
+        elevation_deg=[10.0], distance=[0.3], fovy_deg=[70.0],
+        azimuth_deg=[45.0], near=0.05, far=10.0,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    pc = np.asarray(pos_clip)
+    w = pc[0][np.asarray(faces)][..., 3]
+    assert (w <= 0).any()  # triangles genuinely cross / sit behind the eye
+    r_j = rasterize(
+        pos_clip, jnp.asarray(faces, jnp.int32), (128, 128),
+        RasterizerConfig(backend="xla"),
+    )
+    assert (np.asarray(r_j)[..., 3] > 0).all()  # no holes anywhere
+    r_n = rasterize_np(pc, np.asarray(faces), (128, 128))
+    _crossing_err_check(r_j, r_n)
+
+
+def test_near_plane_crossing_terrain_flythrough():
+    """Low camera over a 10k-tri heightfield (the reference's town-flythrough
+    shape, mvadapter/test/pipeline.py): exercises crossing triangles through
+    BOTH binning modes and the fused G-buffer path."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+
+    verts, faces = make_grid_mesh(
+        72, extent=5.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    cam = get_camera(
+        elevation_deg=[8.0], distance=[0.5], fovy_deg=[65.0],
+        azimuth_deg=[25.0], near=0.05, far=50.0,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    pc = np.asarray(pos_clip)
+    w = pc[0][np.asarray(faces)][..., 3]
+    n_crossing = int((np.any(w > 0, -1) & ~np.all(w > 0, -1)).sum())
+    assert n_crossing > 50
+    r_n = rasterize_np(pc, np.asarray(faces), (256, 256))
+    for mode in ("argsort", "sort_pairs"):
+        r_j = rasterize(
+            pos_clip, jnp.asarray(faces, jnp.int32), (256, 256),
+            RasterizerConfig(backend="xla", bin_mode=mode),
+        )
+        _crossing_err_check(r_j, r_n)
+    # Fused G-buffer: ids must agree, attrs must interpolate with the
+    # original-triangle barycentrics (oracle-reconstructed).
+    gb = rasterize_gbuffer(
+        pos_clip, jnp.asarray(faces, jnp.int32),
+        jnp.asarray(verts, jnp.float32), (256, 256),
+        RasterizerConfig(backend="fused_xla"),
+    )
+    ids_n = r_n[0, ..., 3].astype(np.int32)
+    ids_g = np.asarray(gb.tri_id[0])
+    assert (ids_g != ids_n).mean() <= 0.002
+    # The tuned FAST budgets (tight crossing bboxes keep the huge count and
+    # replica load within bin_huge / bin_flat_cap_factor) must be lossless
+    # on this scene too — this is the hero flythrough case.
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+
+    gb_fast = rasterize_gbuffer(
+        pos_clip, jnp.asarray(faces, jnp.int32), None, (256, 256),
+        FAST_TPU_CONFIG._replace(backend="fused_xla", dot_precision="highest"),
+    )
+    assert (np.asarray(gb_fast.tri_id[0]) != ids_n).mean() <= 0.002
+    same = (ids_g == ids_n) & (ids_n > 0)
+    bu, bv = r_n[0, ..., 0], r_n[0, ..., 1]
+    va = np.asarray(verts)[np.asarray(faces)[np.maximum(ids_n - 1, 0)]]
+    attr_ref = (
+        va[..., 0, :] * (1 - bu - bv)[..., None]
+        + va[..., 1, :] * bu[..., None]
+        + va[..., 2, :] * bv[..., None]
+    )
+    assert np.abs(np.asarray(gb.attr[0])[same] - attr_ref[same]).max() < 1e-4
+
+
+def test_antialias_analytic_edge_blend():
+    """Analytic antialias: a triangle edge crossing between two pixel
+    centers must blend by the exact crossing position (nvdiffrast
+    semantics, mvadapter/utils/mesh_utils/render.py:122-149).
+
+    Scene: an axis-aligned right-edge at x_ndc chosen so the vertical edge
+    sits at fractional pixel position f inside pixel column c. For f > 0.5
+    the first uncovered pixel (c+1) gains (f - 0.5) of the inside color;
+    for f < 0.5 the last covered pixel (c) loses toward background."""
+    from worldrenderer_tpu.ops.antialias import antialias
+
+    res = 16
+    # Edge at pixel coordinate 9 +/- g: pixel 8 (center 8.5) is the last
+    # covered pixel, pixel 9 (center 9.5) is outside. Edge at 9.25 -> the
+    # crossing parameter from the inside center is t = 0.75 > 0.5, so the
+    # OUTSIDE pixel gains t - 0.5 = 0.25 (its true coverage). Edge at
+    # 8.75 -> t = 0.25 < 0.5: the INSIDE pixel loses 0.5 - t = 0.25
+    # (true coverage 0.75).
+    for edge_px, check_outside in ((9.25, True), (8.75, False)):
+        xe = 2.0 * edge_px / res - 1.0
+        verts = np.array(
+            [[-1.5, -1.5, 0.0, 1.0], [xe, -1.5, 0.0, 1.0],
+             [xe, 1.5, 0.0, 1.0], [-1.5, 1.5, 0.0, 1.0]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        pos = jnp.asarray(verts)[None]
+        rast = rasterize(
+            pos, jnp.asarray(faces), (res, res),
+            RasterizerConfig(backend="xla"),
+        )
+        ids = np.asarray(rast)[0, ..., 3]
+        color = jnp.where(
+            (rast[..., 3:4] > 0), jnp.ones((1, res, res, 1)), jnp.zeros(1)
+        )
+        out = np.asarray(antialias(color, rast, pos, jnp.asarray(faces)))
+        row = res // 2
+        assert ids[row, 8] > 0 and ids[row, 9] == 0
+        if check_outside:
+            np.testing.assert_allclose(out[0, row, 9, 0], 0.25, atol=1e-5)
+            np.testing.assert_allclose(out[0, row, 8, 0], 1.0, atol=1e-5)
+        else:
+            np.testing.assert_allclose(out[0, row, 8, 0], 0.75, atol=1e-5)
+            np.testing.assert_allclose(out[0, row, 9, 0], 0.0, atol=1e-5)
+        # Interior pixels untouched.
+        np.testing.assert_allclose(out[0, row, 2, 0], 1.0, atol=1e-6)
+
+
+def test_antialias_wired_through_render():
+    """render(..., antialias_attr=True) must produce intermediate values on
+    silhouette pixels and exact values in the interior."""
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+    from worldrenderer_tpu.render import render
+    from worldrenderer_tpu import get_camera as gc
+
+    verts, faces, uv = uv_sphere_mesh(9, 17)
+    tex = np.ones((16, 16, 3), np.float32) * 0.8
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = gc(elevation_deg=[15.0], distance=[2.5], fovy_deg=[40.0],
+             azimuth_deg=[30.0])
+    plain = render(mesh, cam, 64, 64, render_attr=True)
+    aa = render(mesh, cam, 64, 64, render_attr=True, antialias_attr=True)
+    a0 = np.asarray(plain.attr)
+    a1 = np.asarray(aa.attr)
+    changed = np.abs(a1 - a0).max(axis=-1) > 1e-6
+    mask = np.asarray(plain.mask)
+    # Some silhouette pixels changed; all changes hug the mask boundary.
+    assert changed.any()
+    import scipy.ndimage as ndi  # only for the test oracle
+
+    boundary = mask ^ ndi.binary_erosion(
+        mask, structure=np.ones((1, 3, 3), bool)
+    )
+    near_edge = ndi.binary_dilation(
+        boundary, structure=np.ones((1, 3, 3), bool)
+    )
+    assert (changed <= near_edge).all()

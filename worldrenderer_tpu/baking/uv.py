@@ -68,9 +68,27 @@ def uv_precompute(
         ],
         axis=-1,
     )
-    rast = rasterize(uv_clip4[None], mesh.t_tex_idx, (height, width), raster_config)
-    uv_mask = rast[0, :, :, 3] > 0
-    uv_pos = interpolate(mesh.v_pos[None], rast, mesh.t_pos_idx)[0]
+    if (
+        raster_config.bin_mode == "sort_pairs"
+        and mesh.t_tex_idx.shape[0] >= raster_config.bin_sort_pairs_min_tris
+    ):
+        # Atlas-scale fast path: ONE fused G-buffer pass interpolates v_pos
+        # (over the t_pos_idx topology, tri_attr) while rasterizing the UV
+        # atlas — no per-pixel plane/attribute gathers at uv_size 2048-4096.
+        from ..ops.gbuffer import rasterize_gbuffer
+
+        gb = rasterize_gbuffer(
+            uv_clip4[None], mesh.t_tex_idx, mesh.v_pos, (height, width),
+            raster_config, tri_attr=mesh.t_pos_idx,
+        )
+        uv_mask = gb.mask[0]
+        uv_pos = gb.attr[0]
+    else:
+        rast = rasterize(
+            uv_clip4[None], mesh.t_tex_idx, (height, width), raster_config
+        )
+        uv_mask = rast[0, :, :, 3] > 0
+        uv_pos = interpolate(mesh.v_pos[None], rast, mesh.t_pos_idx)[0]
     return UVPrecomputeOutput(
         height=height,
         width=width,

@@ -59,11 +59,25 @@ class GBufferOutput(NamedTuple):
     attr: Optional[jnp.ndarray]  # (B, H, W, A) perspective-correct attrs
 
 
-def _attr_planes(setup, tri: jnp.ndarray, v_attr: jnp.ndarray) -> jnp.ndarray:
+def _uv_corner_attrs_t(t_total: int) -> jnp.ndarray:
+    """Per-corner one-hot attributes (2, 3, T) whose perspective-correct
+    interpolation IS the nvdiffrast (u, v) barycentrics of local vertices
+    1 and 2 — (u, v) ride the fused attribute-plane machinery and the
+    per-pixel plane gather of the classic resolve disappears."""
+    eye = jnp.array([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], jnp.float32)
+    return jnp.broadcast_to(eye[:, :, None], (2, 3, t_total))
+
+
+def _attr_planes(
+    setup, tri: jnp.ndarray, v_attr: jnp.ndarray, a=None
+) -> jnp.ndarray:
     """Per-triangle numerator planes for each attribute channel plus the
     shared denominator plane. v_attr (V, A) -> (T+1, A+1, 3) with the
-    denominator last."""
-    a = v_attr[tri]  # (T, 3, A)
+    denominator last. ``a`` (T, 3, A): pre-gathered per-corner attributes
+    (overrides the ``v_attr[tri]`` gather — used for foreign-topology
+    attribute indices and the uv-barycentric one-hots)."""
+    if a is None:
+        a = v_attr[tri]  # (T, 3, A)
     inv_w = setup.inv_w[:-1]  # (T, 3)
     eplanes = setup.planes[:-1, :3, :]  # (T, 3edges, 3coef)
     num = jnp.einsum("tia,ti,tic->tac", a, inv_w, eplanes,
@@ -411,6 +425,8 @@ def _gbuffer_single(
     height: int,
     width: int,
     config: RasterizerConfig,
+    tri_attr: Optional[jnp.ndarray] = None,
+    uv_mode: bool = False,
 ):
     from .rasterize import _resolve_backend
 
@@ -420,7 +436,10 @@ def _gbuffer_single(
     pw = -(-width // tile_w) * tile_w
     n_ty, n_tx = ph // tile_h, pw // tile_w
     t_total = tri.shape[0]
-    n_attr = 0 if v_attr is None else v_attr.shape[-1]
+    if uv_mode:
+        n_attr = 2
+    else:
+        n_attr = 0 if v_attr is None else v_attr.shape[-1]
 
     setup = _triangle_setup(pos_clip, tri, width, height)
     max_per_tile = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
@@ -433,8 +452,17 @@ def _gbuffer_single(
         jnp.arange(t_total + 1, dtype=jnp.float32)
     )
 
-    if v_attr is not None:
-        attr_planes = _attr_planes(setup, tri, v_attr)  # (T+1, A+1, 3)
+    if uv_mode:
+        a = jnp.broadcast_to(
+            jnp.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]], jnp.float32)[
+                None
+            ],
+            (t_total, 3, 2),
+        )
+        attr_planes = _attr_planes(setup, tri, jnp.zeros((1, 2)), a=a)
+    elif v_attr is not None:
+        a = v_attr[tri_attr] if tri_attr is not None else None
+        attr_planes = _attr_planes(setup, tri, v_attr, a=a)  # (T+1, A+1, 3)
     else:
         attr_planes = jnp.zeros((t_total + 1, 1, 3), jnp.float32)
     all_planes = jnp.concatenate([setup.planes, id_plane, attr_planes], axis=1)
@@ -513,7 +541,7 @@ def _gbuffer_single(
     tri_id = jnp.where(mask, tid.astype(jnp.int32) + 1, 0)
 
     attr = None
-    if v_attr is not None:
+    if n_attr > 0:
         vals = jax.vmap(detile, in_axes=1, out_axes=0)(v_t)  # (A+1, H, W)
         den = vals[-1]
         den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
@@ -523,10 +551,18 @@ def _gbuffer_single(
     return mask, z, tri_id, attr
 
 
-def _gbuffer_dma_batched(pos, tri, v_attr, height, width, config):
+def _gbuffer_dma_batched(
+    pos, tri, v_attr, height, width, config, tri_attr=None, uv_mode=False
+):
     """v2 fast path: vmapped host prep (setup/bin/aligned flat lists) + ONE
     batched DMA kernel over the (views, tiles) grid; outputs land directly
-    in image layout (no detile pass)."""
+    in image layout (no detile pass).
+
+    ``tri_attr``: corner indices for v_attr when the attribute topology
+    differs from the position topology (uv_precompute interpolates v_pos
+    over t_pos_idx while rasterizing t_tex_idx). ``uv_mode``: emit the
+    nvdiffrast (u, v) barycentrics as 2 attribute channels (one-hot corner
+    attrs) so ``rasterize`` needs no per-pixel resolve gather."""
     from .gbuffer_pallas import gbuffer_tiles_dma
 
     tile_h, tile_w = config.tile_h, config.tile_w
@@ -535,8 +571,11 @@ def _gbuffer_dma_batched(pos, tri, v_attr, height, width, config):
     n_ty, n_tx = ph // tile_h, pw // tile_w
     n_tiles = n_ty * n_tx
     t_total = tri.shape[0]
-    n_attr = 0 if v_attr is None else v_attr.shape[-1]
-    nv = n_attr + 1 if v_attr is not None else 1
+    if uv_mode:
+        n_attr, v_attr = 2, jnp.zeros((1, 2), jnp.float32)
+    else:
+        n_attr = 0 if v_attr is None else v_attr.shape[-1]
+    nv = n_attr + 1 if n_attr > 0 else 1
 
     c = max(128, (config.chunk // 128) * 128)
     k_cap = min(
@@ -564,8 +603,11 @@ def _gbuffer_dma_batched(pos, tri, v_attr, height, width, config):
         .T.reshape(bsz, 4, 3, t_total)
     )
     a3 = None
-    if v_attr is not None:
-        a3 = v_attr[vmajor].T.reshape(v_attr.shape[1], 3, t_total)
+    if uv_mode:
+        a3 = _uv_corner_attrs_t(t_total)
+    elif v_attr is not None:
+        am = tri_attr.T.reshape(-1) if tri_attr is not None else vmajor
+        a3 = v_attr[am].T.reshape(v_attr.shape[1], 3, t_total)
 
     def prep(pos_clip, v4):
         setup = _triangle_setup_t(pos_clip, tri, width, height, v4=v4)
@@ -605,11 +647,13 @@ def _gbuffer_dma_batched(pos, tri, v_attr, height, width, config):
     return mask, z, tri_id, attr
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def _gbuffer_batched(pos, tri, v_attr, resolution, config):
+def _gbuffer_core(
+    pos, tri, v_attr, height, width, config, tri_attr=None, uv_mode=False
+):
+    """Batched G-buffer dispatch (unjitted; rasterize's flat path calls
+    this from inside its own jit)."""
     from .rasterize import _resolve_backend
 
-    height, width = resolution
     config = config._replace(backend=_resolve_backend(config.backend, True))
     tile_h, tile_w = config.tile_h, config.tile_w
     n_tiles = (-(-height // tile_h)) * (-(-width // tile_w))
@@ -620,10 +664,24 @@ def _gbuffer_batched(pos, tri, v_attr, resolution, config):
         and (n_tiles + 1) * t_total < 2**31
     )
     if config.backend == "fused_pallas" and use_flat:
-        return _gbuffer_dma_batched(pos, tri, v_attr, height, width, config)
+        return _gbuffer_dma_batched(
+            pos, tri, v_attr, height, width, config,
+            tri_attr=tri_attr, uv_mode=uv_mode,
+        )
     return jax.vmap(
-        lambda p: _gbuffer_single(p, tri, v_attr, height, width, config)
+        lambda p: _gbuffer_single(
+            p, tri, v_attr, height, width, config,
+            tri_attr=tri_attr, uv_mode=uv_mode,
+        )
     )(pos)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _gbuffer_batched(pos, tri, v_attr, resolution, config, tri_attr=None):
+    height, width = resolution
+    return _gbuffer_core(
+        pos, tri, v_attr, height, width, config, tri_attr=tri_attr
+    )
 
 
 def rasterize_gbuffer(
@@ -632,17 +690,23 @@ def rasterize_gbuffer(
     v_attr: Optional[jnp.ndarray],
     resolution: Tuple[int, int],
     config: RasterizerConfig = DEFAULT_CONFIG,
+    tri_attr: Optional[jnp.ndarray] = None,
 ) -> GBufferOutput:
     """Fused rasterization + perspective-correct attribute interpolation.
 
     pos (B, V, 4) clip positions; tri (T, 3); v_attr (V, A) or None.
+    ``tri_attr`` (T, 3): corner indices for v_attr when the attribute
+    topology differs from the rasterized one (e.g. interpolating v_pos over
+    t_pos_idx while rasterizing the UV atlas over t_tex_idx).
     Returns mask / z / tri_id / attr — all gather-free on the hot path.
     """
     pos = pos.astype(jnp.float32)
     tri = tri.astype(jnp.int32)
     if v_attr is not None:
         v_attr = v_attr.astype(jnp.float32)
+    if tri_attr is not None:
+        tri_attr = tri_attr.astype(jnp.int32)
     mask, z, tri_id, attr = _gbuffer_batched(
-        pos, tri, v_attr, tuple(resolution), config
+        pos, tri, v_attr, tuple(resolution), config, tri_attr
     )
     return GBufferOutput(mask=mask, z=z, tri_id=tri_id, attr=attr)

@@ -33,9 +33,25 @@ Design (TPU-first, not a CUDA translation):
   * A final resolve pass gathers the winning triangle's coefficients per
     pixel and computes perspective-correct (u, v) once.
 
-Limitations vs nvdiffrast (documented, revisit later): no near-plane
-polygon clipping — triangles with any vertex at w <= eps are culled whole;
-no image-space derivative output (grad_db is accepted and ignored).
+Near-plane handling is CLIPLESS (homogeneous rasterization, Olano-Greer
+style) instead of nvdiffrast's geometric polygon clipping
+(mvadapter/utils/mesh_utils/render.py:33-62): a triangle crossing w = 0
+gets edge planes from the cofactors of its homogeneous vertex matrix
+M = [x_pix*w; y_pix*w; w] — built WITHOUT dividing by w, yet still affine
+in screen space, so it rides the same plane-matmul machinery.  Key
+identities: sum_i e_i(p) * w_i = det(M) (a constant), so the NDC depth
+z(p) = sum_i e_i(p) * z_i / det stays a single affine plane; coverage
+``all(e_i * sign(det) >= 0)`` automatically selects the w > 0 branch of
+the projective triangle; and the perspective-correct barycentrics are
+simply e_i / sum_j e_j (stored with inv_w = inv_area = 1 so the shared
+resolve/attr formulas reproduce them unchanged).  The visible region is
+then bounded by the in-kernel NDC z clip (-1 <= z <= 1), which is exactly
+the GL near/far clip for w > 0.  Crossing triangles get a full-screen
+bbox (their projection is unbounded) and route through the huge-triangle
+binning path.
+
+Limitations vs nvdiffrast (documented, revisit later): no image-space
+derivative output (grad_db is accepted and ignored).
 """
 
 from __future__ import annotations
@@ -155,7 +171,8 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
     """Per-view triangle setup. pos_clip (V, 4), tri (T, 3)."""
     v = pos_clip[tri]  # (T, 3, 4)
     w = v[..., 3]
-    valid_w = jnp.all(w > _W_EPS, axis=-1)
+    front = jnp.all(w > _W_EPS, axis=-1)
+    crossing = jnp.any(w > _W_EPS, axis=-1) & ~front
     w_safe = jnp.where(jnp.abs(w) < _W_EPS, _W_EPS, w)
     inv_w = 1.0 / w_safe
     # Screen coords in pixel units; pixel (ix, iy) center sits at (ix+0.5, iy+0.5).
@@ -177,7 +194,7 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
     )
     sgn = jnp.where(area < 0, -1.0, 1.0)
     area_abs = jnp.abs(area)
-    valid = valid_w & (area_abs > 0)
+    valid = front & (area_abs > 0)
     inv_area = jnp.where(valid, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
     dxs = dx * sgn[:, None]
     dys = dy * sgn[:, None]
@@ -192,11 +209,77 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
     zc = zw * inv_area[:, None]  # (T, 3)
     z_plane = jnp.einsum("ti,tic->tc", zc, edge_planes,
                          precision=jax.lax.Precision.HIGHEST)  # (T, 3)
-    planes = jnp.concatenate([edge_planes, z_plane[:, None, :]], axis=1)
 
     bbox = jnp.stack(
         [x.min(axis=1), x.max(axis=1), y.min(axis=1), y.max(axis=1)], axis=-1
     )
+
+    # ---- Clipless homogeneous planes for near-plane-crossing triangles
+    # (see module docstring). Built from clip coords directly — no division
+    # by w — so vertices at/behind w = 0 are handled exactly.
+    hx = (v[..., 0] + v[..., 3]) * (width * 0.5)  # x_pixel * w  (T, 3)
+    hy = (v[..., 1] + v[..., 3]) * (height * 0.5)
+    ha = hy[:, nxt] * w[:, prv] - w[:, nxt] * hy[:, prv]  # cofactor rows
+    hb = w[:, nxt] * hx[:, prv] - hx[:, nxt] * w[:, prv]
+    hg = hx[:, nxt] * hy[:, prv] - hy[:, nxt] * hx[:, prv]
+    det = ha[:, 0] * hx[:, 0] + hb[:, 0] * hy[:, 0] + hg[:, 0] * w[:, 0]
+    hsgn = jnp.where(det < 0, -1.0, 1.0)
+    det_abs = jnp.abs(det)
+    inv_det = jnp.where(det_abs > 0, 1.0 / jnp.maximum(det_abs, 1e-30), 0.0)
+    # NDC depth plane: z(p) = sum_i e_i(p) * z_i / det (scale-exact; the
+    # edge-plane conditioning rescale below must NOT touch it).
+    zq = v[..., 2] * (hsgn * inv_det)[:, None]  # (T, 3)
+    hz = jnp.stack(
+        [jnp.sum(ha * zq, axis=1), jnp.sum(hb * zq, axis=1),
+         jnp.sum(hg * zq, axis=1)], axis=-1
+    )  # (T, 3)
+    # Common positive per-triangle rescale (cancels in every e-ratio the
+    # pipeline computes) keeps cofactor magnitudes ~1 for fp32 health.
+    m = jnp.maximum(
+        jnp.max(jnp.abs(ha), axis=1),
+        jnp.maximum(jnp.max(jnp.abs(hb), axis=1), jnp.max(jnp.abs(hg), axis=1)),
+    )
+    hsc = (jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0) * hsgn)[:, None]
+    h_planes = jnp.stack([ha * hsc, hb * hsc, hg * hsc], axis=-1)  # (T, 3, 3)
+
+    cx = crossing[:, None]
+    edge_planes = jnp.where(cx[..., None], h_planes, edge_planes)
+    z_plane = jnp.where(cx, hz, z_plane)
+    # inv_w = inv_area = 1 makes the shared resolve/attr formulas compute
+    # the homogeneous barycentrics e_i / sum_j e_j directly.
+    inv_w = jnp.where(cx, 1.0, inv_w)
+    inv_area = jnp.where(crossing, 1.0, inv_area)
+    valid = valid | (crossing & (det_abs > 0))
+    # Conservative bbox for crossing triangles: project the candidate
+    # points of the w >= eps_b clipped polygon (front vertices + the two
+    # edge intersections, whose w = eps_b projections are huge but finite
+    # and directionally correct). Points with 0 < w < eps_b that pass the
+    # z clip lie within ~eps_b of the camera plane with |z_clip| < eps_b —
+    # geometrically the triangle grazing the camera origin itself; below
+    # the rasterizer's own _W_EPS granularity.
+    eps_b = jnp.maximum(1e-4 * jnp.max(jnp.abs(w), axis=1), 1e-7)[:, None]
+    v_ok = w > eps_b  # (T, 3) vertices safely in front
+    wi, wj = w, w[:, nxt]
+    cross_e = (wi > eps_b) != (wj > eps_b)  # (T, 3) edges crossing w=eps_b
+    tt = (eps_b - wi) / jnp.where(jnp.abs(wj - wi) < 1e-30, 1e-30, wj - wi)
+    xc = v[..., 0] + tt * (v[:, nxt, 0] - v[..., 0])
+    yc = v[..., 1] + tt * (v[:, nxt, 1] - v[..., 1])
+    pxc = (xc / eps_b + 1.0) * (width * 0.5)
+    pyc = (yc / eps_b + 1.0) * (height * 0.5)
+
+    def _mm(vals, ok, big, take_min):
+        vals = jnp.where(ok, vals, big if take_min else -big)
+        return vals.min(axis=1) if take_min else vals.max(axis=1)
+
+    big = jnp.float32(3e9)
+    cxmin = jnp.minimum(_mm(x, v_ok, big, True), _mm(pxc, cross_e, big, True))
+    cxmax = jnp.maximum(_mm(x, v_ok, big, False), _mm(pxc, cross_e, big, False))
+    cymin = jnp.minimum(_mm(y, v_ok, big, True), _mm(pyc, cross_e, big, True))
+    cymax = jnp.maximum(_mm(y, v_ok, big, False), _mm(pyc, cross_e, big, False))
+    bbox_cross = jnp.stack([cxmin, cxmax, cymin, cymax], axis=-1)
+    bbox = jnp.where(cx, bbox_cross, bbox)
+
+    planes = jnp.concatenate([edge_planes, z_plane[:, None, :]], axis=1)
 
     def pad(a, fill=0.0):
         cfg = [(0, 1)] + [(0, 0)] * (a.ndim - 1)
@@ -257,7 +340,8 @@ def _triangle_setup_t(
         # One row gather in vertex-major order, one 2D transpose.
         v4 = pos_clip[tri.T.reshape(-1)].T.reshape(4, 3, t_total)
     w = v4[3]  # (3, T)
-    valid_w = jnp.all(w > _W_EPS, axis=0)
+    front = jnp.all(w > _W_EPS, axis=0)
+    crossing = jnp.any(w > _W_EPS, axis=0) & ~front
     w_safe = jnp.where(jnp.abs(w) < _W_EPS, _W_EPS, w)
     inv_w = 1.0 / w_safe
     x = (v4[0] * inv_w + 1.0) * (width * 0.5)  # (3, T)
@@ -273,7 +357,7 @@ def _triangle_setup_t(
     area = (x[1] - x[0]) * (y[2] - y[0]) - (y[1] - y[0]) * (x[2] - x[0])
     sgn = jnp.where(area < 0, -1.0, 1.0)
     area_abs = jnp.abs(area)
-    valid = valid_w & (area_abs > 0)
+    valid = front & (area_abs > 0)
     inv_area = jnp.where(valid, 1.0 / jnp.maximum(area_abs, 1e-30), 0.0)
     dxs = dx * sgn[None]
     dys = dy * sgn[None]
@@ -286,6 +370,72 @@ def _triangle_setup_t(
     z_a = jnp.sum(zc * alpha, axis=0)
     z_b = jnp.sum(zc * beta, axis=0)
     z_g = jnp.sum(zc * gamma, axis=0)
+    bbox4 = jnp.stack(
+        [x.min(axis=0), x.max(axis=0), y.min(axis=0), y.max(axis=0)], axis=0
+    )
+
+    # ---- Clipless homogeneous planes for near-plane-crossing triangles
+    # (transposed twin of the block in _triangle_setup; see module
+    # docstring). No division by w anywhere.
+    hx = (v4[0] + v4[3]) * (width * 0.5)  # (3, T)
+    hy = (v4[1] + v4[3]) * (height * 0.5)
+    ha = hy[nxt] * w[prv] - w[nxt] * hy[prv]  # (3, T) cofactor rows
+    hb = w[nxt] * hx[prv] - hx[nxt] * w[prv]
+    hg = hx[nxt] * hy[prv] - hy[nxt] * hx[prv]
+    det = ha[0] * hx[0] + hb[0] * hy[0] + hg[0] * w[0]  # (T,)
+    hsgn = jnp.where(det < 0, -1.0, 1.0)
+    det_abs = jnp.abs(det)
+    inv_det = jnp.where(det_abs > 0, 1.0 / jnp.maximum(det_abs, 1e-30), 0.0)
+    zq = v4[2] * (hsgn * inv_det)[None]  # (3, T)
+    hz_a = jnp.sum(ha * zq, axis=0)
+    hz_b = jnp.sum(hb * zq, axis=0)
+    hz_g = jnp.sum(hg * zq, axis=0)
+    m = jnp.maximum(
+        jnp.max(jnp.abs(ha), axis=0),
+        jnp.maximum(jnp.max(jnp.abs(hb), axis=0), jnp.max(jnp.abs(hg), axis=0)),
+    )
+    hsc = (jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 0.0) * hsgn)[None]
+    ha, hb, hg = ha * hsc, hb * hsc, hg * hsc
+
+    cr = crossing[None]
+    alpha = jnp.where(cr, ha, alpha)
+    beta = jnp.where(cr, hb, beta)
+    gamma = jnp.where(cr, hg, gamma)
+    z_a = jnp.where(crossing, hz_a, z_a)
+    z_b = jnp.where(crossing, hz_b, z_b)
+    z_g = jnp.where(crossing, hz_g, z_g)
+    inv_w = jnp.where(cr, 1.0, inv_w)
+    inv_area = jnp.where(crossing, 1.0, inv_area)
+    valid = valid | (crossing & (det_abs > 0))
+    # Conservative bbox for crossing triangles (transposed twin of the
+    # block in _triangle_setup: project the w >= eps_b clip-polygon
+    # candidates).
+    eps_b = jnp.maximum(1e-4 * jnp.max(jnp.abs(w), axis=0), 1e-7)[None]
+    v_ok = w > eps_b  # (3, T)
+    wj = w[nxt]
+    cross_e = (w > eps_b) != (wj > eps_b)
+    tt = (eps_b - w) / jnp.where(jnp.abs(wj - w) < 1e-30, 1e-30, wj - w)
+    xc = v4[0] + tt * (v4[0][nxt] - v4[0])
+    yc = v4[1] + tt * (v4[1][nxt] - v4[1])
+    pxc = (xc / eps_b + 1.0) * (width * 0.5)
+    pyc = (yc / eps_b + 1.0) * (height * 0.5)
+
+    def _mm(vals, ok, take_min):
+        big = jnp.float32(3e9)
+        vals = jnp.where(ok, vals, big if take_min else -big)
+        return vals.min(axis=0) if take_min else vals.max(axis=0)
+
+    bbox_cross = jnp.stack(
+        [
+            jnp.minimum(_mm(x, v_ok, True), _mm(pxc, cross_e, True)),
+            jnp.maximum(_mm(x, v_ok, False), _mm(pxc, cross_e, False)),
+            jnp.minimum(_mm(y, v_ok, True), _mm(pyc, cross_e, True)),
+            jnp.maximum(_mm(y, v_ok, False), _mm(pyc, cross_e, False)),
+        ],
+        axis=0,
+    )  # (4, T)
+    bbox4 = jnp.where(cr, bbox_cross, bbox4)
+
     planes12 = jnp.concatenate(
         [
             jnp.stack([alpha[0], beta[0], gamma[0]], axis=0),
@@ -295,9 +445,6 @@ def _triangle_setup_t(
         ],
         axis=0,
     )  # (12, T)
-    bbox4 = jnp.stack(
-        [x.min(axis=0), x.max(axis=0), y.min(axis=0), y.max(axis=0)], axis=0
-    )
 
     def pad(a, fill=0.0):
         cfg = [(0, 0)] * (a.ndim - 1) + [(0, 1)]
@@ -677,11 +824,14 @@ def _rasterize_single(
     setup = _triangle_setup(pos_clip, tri, width, height)
     max_per_tile = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
 
-    # At sort_pairs scale, compute z/id through the gbuffer flat path: its
-    # gather touches only the ~4T live (tile, tri) entries, where the dense
-    # ids-matrix gather below materializes (n_tiles, K, 4, 3) — whose
-    # minor-dim-3 TPU layout pads 3 -> 128 lanes (42x; tens of GB at
-    # uv_size 2048, an instant HBM OOM).
+    # At sort_pairs scale, compute the FULL rast output (u, v, z, id)
+    # through the fused gbuffer path in uv_mode: (u, v) are the
+    # perspective-correct interpolation of one-hot corner attributes, so
+    # they ride the attribute planes and neither the binning-side dense
+    # (n_tiles, K, 4, 3) gather (minor-dim-3 TPU layout pads 3 -> 128
+    # lanes; tens of GB at uv_size 2048) nor the classic resolve's
+    # per-pixel (H, W, 4, 3) plane gather (~800 MB/frame at 4096^2) is
+    # ever materialized.
     use_flat = (
         config.bin_mode == "sort_pairs"
         and t_total >= config.bin_sort_pairs_min_tris
@@ -693,10 +843,13 @@ def _rasterize_single(
         zid_cfg = config._replace(
             backend="fused_pallas" if config.backend == "pallas" else "fused_xla"
         )
-        _, zmap, idmap, _ = _gbuffer_single(
-            pos_clip, tri, None, height, width, zid_cfg
+        _, zmap, idmap, uvmap = _gbuffer_single(
+            pos_clip, tri, None, height, width, zid_cfg, uv_mode=True
         )
-        return _resolve_uv(setup, idmap, zmap)
+        return jnp.concatenate(
+            [uvmap, zmap[..., None], idmap.astype(jnp.float32)[..., None]],
+            axis=-1,
+        )
 
     ids, counts = _bin_dispatch(
         setup, width, height, tile_h, tile_w, max_per_tile, config
@@ -736,7 +889,27 @@ def _rasterize_single(
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def _rasterize_batched(pos, tri, resolution, config):
     height, width = resolution
-    return jax.vmap(lambda p: _rasterize_single(p, tri, height, width, config))(pos)
+    cfg = config._replace(backend=_resolve_backend(config.backend, False))
+    n_tiles = (-(-height // cfg.tile_h)) * (-(-width // cfg.tile_w))
+    t_total = tri.shape[0]
+    use_flat = (
+        cfg.bin_mode == "sort_pairs"
+        and t_total >= cfg.bin_sort_pairs_min_tris
+        and (n_tiles + 1) * t_total < 2**31
+    )
+    if use_flat and cfg.backend == "pallas":
+        # Whole batch through the ONE batched DMA kernel (uv_mode emits the
+        # full nvdiffrast rast contract directly).
+        from .gbuffer import _gbuffer_core
+
+        gcfg = cfg._replace(backend="fused_pallas")
+        _, z, idm, uvm = _gbuffer_core(
+            pos, tri, None, height, width, gcfg, uv_mode=True
+        )
+        return jnp.concatenate(
+            [uvm, z[..., None], idm.astype(jnp.float32)[..., None]], axis=-1
+        )
+    return jax.vmap(lambda p: _rasterize_single(p, tri, height, width, cfg))(pos)
 
 
 def rasterize(
