@@ -107,3 +107,107 @@ def test_frame_savers(tmp_path, rng):
     np.testing.assert_allclose(
         img / 65535.0, np.clip(depth[1], 0, 1), atol=1e-4
     )
+
+
+def test_load_text_gltf_with_external_bin(tmp_path, rng):
+    """A JSON .gltf with an external .bin buffer must load like a GLB
+    (reference trimesh loader accepts both, mesh.py:198-345)."""
+    import base64
+    import struct
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.uint32)
+    blob = verts.tobytes() + faces.tobytes()
+    (tmp_path / "mesh.bin").write_bytes(blob)
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1, "mode": 4}
+        ]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 4,
+             "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+            {"bufferView": 1, "componentType": 5125, "count": 6,
+             "type": "SCALAR"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": verts.nbytes},
+            {"buffer": 0, "byteOffset": verts.nbytes,
+             "byteLength": faces.nbytes},
+        ],
+        "buffers": [{"uri": "mesh.bin", "byteLength": len(blob)}],
+    }
+    path = tmp_path / "mesh.gltf"
+    path.write_text(json.dumps(gltf))
+    parsed = load_glb(path)
+    np.testing.assert_allclose(parsed["vertices"], verts, atol=1e-6)
+    np.testing.assert_array_equal(parsed["faces"], faces.reshape(-1, 3))
+
+    # data: URI variant of the same buffer.
+    gltf["buffers"] = [{
+        "uri": "data:application/octet-stream;base64,"
+        + base64.b64encode(blob).decode(),
+        "byteLength": len(blob),
+    }]
+    path2 = tmp_path / "mesh_datauri.gltf"
+    path2.write_text(json.dumps(gltf))
+    parsed2 = load_glb(path2)
+    np.testing.assert_allclose(parsed2["vertices"], verts, atol=1e-6)
+
+    # And through the high-level loader.
+    mesh = load_mesh(str(path), merge_vertices=False)
+    assert mesh.v_pos.shape == (4, 3) and mesh.t_pos_idx.shape == (2, 3)
+
+
+def test_load_ply_ascii_and_binary(tmp_path):
+    verts = np.array(
+        [[0, 0, 0], [2, 0, 0], [0, 2, 0], [2, 2, 1]], np.float64
+    )
+    nrm = np.array([[0, 0, 1]] * 4, np.float64)
+    uv = np.array([[0, 0], [1, 0], [0, 1], [1, 1]], np.float32)
+
+    ascii_ply = "ply\nformat ascii 1.0\nelement vertex 4\n"
+    ascii_ply += "".join(
+        f"property float {p}\n" for p in ("x", "y", "z", "nx", "ny", "nz", "s", "t")
+    )
+    ascii_ply += (
+        "element face 2\nproperty list uchar int vertex_indices\nend_header\n"
+    )
+    for i in range(4):
+        row = list(verts[i]) + list(nrm[i]) + list(uv[i])
+        ascii_ply += " ".join(str(float(x)) for x in row) + "\n"
+    ascii_ply += "3 0 1 2\n4 0 1 3 2\n"  # one tri + one quad (fan split)
+    pa = tmp_path / "mesh_ascii.ply"
+    pa.write_text(ascii_ply)
+
+    from worldrenderer_tpu.scene.ply import load_ply
+
+    parsed = load_ply(pa)
+    np.testing.assert_allclose(parsed["vertices"], verts)
+    np.testing.assert_allclose(parsed["normals"], nrm)
+    np.testing.assert_allclose(parsed["uv"], uv)
+    assert parsed["faces"].shape == (3, 3)  # quad fan-triangulated
+
+    # Binary little-endian variant of the same mesh.
+    header = (
+        "ply\nformat binary_little_endian 1.0\nelement vertex 4\n"
+        + "".join(f"property float {p}\n" for p in ("x", "y", "z"))
+        + "element face 1\nproperty list uchar uint vertex_indices\n"
+        + "end_header\n"
+    )
+    body = verts.astype("<f4").tobytes()
+    body += np.uint8(3).tobytes() + np.array([0, 1, 2], "<u4").tobytes()
+    pb = tmp_path / "mesh_bin.ply"
+    pb.write_bytes(header.encode("ascii") + body)
+    parsed_b = load_ply(pb)
+    np.testing.assert_allclose(parsed_b["vertices"], verts, atol=1e-6)
+    np.testing.assert_array_equal(parsed_b["faces"], [[0, 1, 2]])
+    assert parsed_b["uv"] is None
+
+    mesh = load_mesh(str(pa), default_uv_size=64)
+    assert mesh.v_pos.shape == (4, 3) and mesh.v_tex is not None

@@ -242,7 +242,8 @@ def load_mesh(
     front_x_to_y: bool = False,
     return_transform: bool = False,
 ):
-    """Load a mesh from GLB/OBJ/NPZ into a TexturedMesh pytree.
+    """Load a mesh from GLB / glTF-JSON / OBJ / PLY / NPZ into a
+    TexturedMesh pytree.
 
     Mirrors reference mesh.py:198-345: scene concatenation, recenter/rescale,
     up/front axis change-of-basis, UV V-flip, baseColor texture extraction,
@@ -272,6 +273,16 @@ def load_mesh(
         can_merge = True
     elif mesh_path.endswith(".obj"):
         vertices, faces, visual_uv, vertex_normals = _load_obj(mesh_path)
+        can_merge = True
+    elif mesh_path.endswith(".ply"):
+        from .scene.ply import load_ply
+
+        parsed = load_ply(mesh_path)
+        vertices = parsed["vertices"]
+        faces = parsed["faces"]
+        visual_uv = parsed["uv"]
+        if parsed["normals"] is not None:
+            vertex_normals = np.asarray(parsed["normals"], np.float64)
         can_merge = True
     else:
         raise ValueError(f"Unsupported mesh format: {mesh_path}")

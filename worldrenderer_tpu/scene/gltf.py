@@ -45,17 +45,27 @@ _TYPE_SIZES = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4, "MAT4": 16}
 
 
 class GLBScene:
-    """Parsed GLB: gltf JSON dict + binary blob, with accessor helpers."""
+    """Parsed glTF: JSON dict + binary buffers, with accessor helpers.
 
-    def __init__(self, gltf: dict, blob: bytes):
+    ``buffers`` holds one bytes object per glTF buffer (a GLB has exactly
+    one — the BIN chunk; a text .gltf may reference several external /
+    data-URI buffers, reference trimesh loader parity:
+    mvadapter/utils/mesh_utils/mesh.py:198-345)."""
+
+    def __init__(self, gltf: dict, blob=b"", buffers: Optional[list] = None):
         self.gltf = gltf
-        self.blob = blob
+        self.buffers = list(buffers) if buffers is not None else [blob]
+
+    @property
+    def blob(self) -> bytes:
+        return self.buffers[0] if self.buffers else b""
 
     # -- low-level ----------------------------------------------------------
     def buffer_view_bytes(self, bv_index: int) -> bytes:
         bv = self.gltf["bufferViews"][bv_index]
         off = bv.get("byteOffset", 0)
-        return self.blob[off : off + bv["byteLength"]]
+        buf = self.buffers[bv.get("buffer", 0)]
+        return buf[off : off + bv["byteLength"]]
 
     def accessor_array(self, acc_index: int) -> np.ndarray:
         acc = self.gltf["accessors"][acc_index]
@@ -63,14 +73,15 @@ class GLBScene:
         ncomp = _TYPE_SIZES[acc["type"]]
         count = acc["count"]
         bv = self.gltf["bufferViews"][acc["bufferView"]]
+        buf = self.buffers[bv.get("buffer", 0)]
         base = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
         stride = bv.get("byteStride") or dtype().itemsize * ncomp
         itemsize = dtype().itemsize * ncomp
         if stride == itemsize:
-            arr = np.frombuffer(self.blob, dtype=dtype, count=count * ncomp, offset=base)
+            arr = np.frombuffer(buf, dtype=dtype, count=count * ncomp, offset=base)
         else:  # interleaved
             rows = [
-                np.frombuffer(self.blob, dtype=dtype, count=ncomp, offset=base + i * stride)
+                np.frombuffer(buf, dtype=dtype, count=ncomp, offset=base + i * stride)
                 for i in range(count)
             ]
             arr = np.concatenate(rows)
@@ -79,7 +90,28 @@ class GLBScene:
     def image_bytes(self, image_index: int) -> Tuple[bytes, str]:
         img = self.gltf["images"][image_index]
         mime = img.get("mimeType", "image/png")
-        return self.buffer_view_bytes(img["bufferView"]), mime
+        if "bufferView" in img:
+            return self.buffer_view_bytes(img["bufferView"]), mime
+        return _resolve_uri(img["uri"], getattr(self, "base_dir", None)), mime
+
+
+def _resolve_uri(uri: str, base_dir) -> bytes:
+    """Resolve a glTF buffer/image URI: data: URIs inline, anything else a
+    path relative to the .gltf file."""
+    if uri.startswith("data:"):
+        import base64
+
+        header, _, payload = uri.partition(",")
+        if ";base64" in header:
+            return base64.b64decode(payload)
+        from urllib.parse import unquote_to_bytes
+
+        return unquote_to_bytes(payload)
+    if base_dir is None:
+        raise ValueError(f"external buffer {uri!r} needs a base directory")
+    from urllib.parse import unquote
+
+    return (Path(base_dir) / unquote(uri)).read_bytes()
 
 
 def _node_world_transforms(gltf: dict) -> Dict[int, np.ndarray]:
@@ -133,6 +165,20 @@ def _node_world_transforms(gltf: dict) -> Dict[int, np.ndarray]:
 
 def parse_glb(path) -> GLBScene:
     data = Path(path).read_bytes()
+    if len(data) < 12 or data[:4] != b"glTF":
+        # Text .gltf: JSON document with external-file or data: URI buffers.
+        try:
+            gltf = json.loads(data.decode("utf-8"))
+        except (UnicodeDecodeError, json.JSONDecodeError):
+            raise ValueError(f"{path}: neither a GLB nor a glTF JSON file")
+        base_dir = Path(path).parent
+        buffers = [
+            _resolve_uri(b["uri"], base_dir) if "uri" in b else b""
+            for b in gltf.get("buffers", [])
+        ] or [b""]
+        scene = GLBScene(gltf, buffers=buffers)
+        scene.base_dir = base_dir
+        return scene
     magic, version, _length = struct.unpack_from("<III", data, 0)
     if magic != _MAGIC:
         raise ValueError(f"{path}: not a GLB file")
