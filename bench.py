@@ -1,5 +1,18 @@
-"""Headline benchmark: views/sec/chip for 6-view 512x512 position+normal
-G-buffers of a ~10k-triangle mesh (BASELINE.md north-star: >1000 on v5p).
+"""Benchmarks for the five BASELINE.json configs + the reference's real
+camera_projection workload.
+
+Default (no args) = the headline: views/sec/chip for 6-view 512x512
+position+normal G-buffers of a ~10k-triangle mesh (BASELINE.md north-star:
+>1000 on v5p). Subcommands select the other configs:
+
+    python bench.py            # headline (driver runs this per round)
+    python bench.py config1    # textured icosphere, 6 views 256^2 pos+normal
+    python bench.py config2    # orbit rig, 32 views 512^2 depth+normal
+    python bench.py config3    # fractal terrain, 8 shaded aerial views 512^2
+    python bench.py config4    # 10k tris + UV texture + materials at 1024^2
+    python bench.py config5    # dataset sweep: meshes x 12 poses, views/s/chip
+    python bench.py projection # camera_projection e2e at uv_size 2048
+    python bench.py all        # every config, one JSON line each
 
 Methodology notes (important on tunneled/remote TPU backends):
   * R render iterations run INSIDE one jitted ``lax.scan`` with per-iteration
@@ -8,13 +21,14 @@ Methodology notes (important on tunneled/remote TPU backends):
     tricks or lazy ``block_until_ready`` backends can't fake the number.
   * The empty-roundtrip latency floor is measured and subtracted.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per config: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -56,119 +70,388 @@ def check_binning_budgets(pos_clip, tri, resolution, cfg):
     }
 
 
-def main():
+def _time_scanned(step_fn, *args, floor_reps: int = 5, min_time: float = 2.0):
+    """Time float(step_fn(*args, seed)) with the latency floor subtracted.
+    step_fn must return an on-device scalar (checksum). Returns seconds per
+    call."""
     import jax
     import jax.numpy as jnp
 
-    from worldrenderer_tpu import get_camera
-    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
-    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, RasterizerConfig
+    tiny = jax.jit(lambda x: x + 1.0)
+    float(tiny(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for i in range(floor_reps):
+        float(tiny(jnp.float32(i)))
+    floor = (time.perf_counter() - t0) / floor_reps
+
+    v = float(step_fn(*args, jnp.float32(0)))  # warmup / compile
+    assert np.isfinite(v), f"non-finite checksum {v}"
+
+    reps = 1
+    while True:
+        t0 = time.perf_counter()
+        for i in range(reps):
+            v = float(step_fn(*args, jnp.float32(i + 1)))
+        dt = time.perf_counter() - t0
+        if dt > min_time or reps >= 64:
+            break
+        reps *= 4
+    assert np.isfinite(v)
+    return max(dt - floor * reps, 1e-9) / reps
+
+
+def _emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(value / baseline, 4)
+    print(json.dumps(rec))
+
+
+def _render_views_per_sec(
+    mesh, cam, height, width, r_inner, metric, baseline=None, **render_kw
+):
+    """Shared harness: R_inner perturbed renders inside one lax.scan,
+    checksum-forced."""
+    import jax
+    import jax.numpy as jnp
+
     from worldrenderer_tpu.render import render
 
-    # ~10k-triangle heightfield: (72-1)^2 * 2 = 10082 tris.
-    verts, faces = make_grid_mesh(
-        72, extent=1.0, height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y)
-    )
-    mesh = TexturedMesh(
-        v_pos=jnp.asarray(verts, jnp.float32),
-        t_pos_idx=jnp.asarray(faces, jnp.int32),
-    )
-
-    cam = get_camera(
-        elevation_deg=35.0,
-        distance=3.0,
-        fovy_deg=50.0,
-        num_views=N_VIEWS,
-        near=0.1,
-        far=10.0,
-    )
-
-    # K chosen above the measured worst-case per-tile count (1248 for this
-    # mesh/res/tiling); the guard below fails loudly if a config change
-    # ever makes the cap lossy.
-    cfg = FAST_TPU_CONFIG
-    render_fn = functools.partial(
-        render,
-        height=HEIGHT,
-        width=WIDTH,
-        render_attr=False,
-        render_depth=False,
-        render_normal=True,
-        raster_config=cfg,
-    )
+    n_views = int(cam.mvp_mtx.shape[0])
+    render_fn = functools.partial(render, height=height, width=width, **render_kw)
 
     @jax.jit
     def bench_step(mesh, cam, seed):
         def body(acc, i):
-            # Perturb the view matrices per iteration so no caching layer can
-            # reuse results; the perturbation is numerically negligible.
             eps = (seed + i).astype(jnp.float32) * 1e-6
             c = cam._replace(mvp_mtx=cam.mvp_mtx + eps, w2c=cam.w2c + eps * 0)
             out = render_fn(mesh, c)
-            s = (
-                jnp.sum(jnp.abs(out.normal))
-                + jnp.sum(jnp.abs(out.pos))
-                + jnp.sum(out.mask)
-            )
+            s = jnp.float32(0)
+            for field in ("normal", "pos", "attr", "depth"):
+                val = getattr(out, field, None)
+                if val is not None:
+                    s = s + jnp.sum(jnp.abs(val))
+            s = s + jnp.sum(out.mask)
             return acc + s, None
 
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(R_INNER))
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(r_inner))
         return acc
 
-    # Correctness guard: the G-buffer must be invariant to doubling every
-    # lossy binning budget (per-tile cap K, flat-list cap factor, huge-list
-    # size). Comparing z AND tri_id, not just the mask — a dropped triangle
-    # hidden behind another changes z/id/attr while leaving coverage
-    # untouched. (Cheaper than compiling the exact K=T path; validated
-    # against exact offline: worst-case per-tile count is 1248 for this
-    # scene.)
+    sec = _time_scanned(bench_step, mesh, cam)
+    _emit(metric, n_views * r_inner / sec, "views/s", baseline)
+
+
+def _heightfield_scene(n=72, extent=1.0):
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+
+    verts, faces = make_grid_mesh(
+        n, extent=extent, height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y)
+    )
+    return TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+
+
+def _fast_cfg():
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+
+    return FAST_TPU_CONFIG
+
+
+def bench_headline():
+    """6-view 512^2 pos+normal of a ~10k-tri heightfield (north-star)."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
     from worldrenderer_tpu.transforms import get_clip_space_position
 
-    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
-    diffs = check_binning_budgets(
-        pos_clip, mesh.t_pos_idx, (HEIGHT, WIDTH), cfg
+    mesh = _heightfield_scene()
+    cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0,
+        num_views=N_VIEWS, near=0.1, far=10.0,
     )
+    cfg = _fast_cfg()
+    # Correctness guard: the G-buffer must be invariant to doubling every
+    # lossy binning budget (z AND tri_id compared, not just the mask).
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    diffs = check_binning_budgets(pos_clip, mesh.t_pos_idx, (HEIGHT, WIDTH), cfg)
     assert (
         diffs["mask_diff"] == 0
         and diffs["id_diff"] == 0
         and diffs["z_diff"] < 1e-6
     ), f"binning budgets truncate triangle lists: {diffs}"
 
-    # Latency floor: trivial scalar roundtrip.
+    _render_views_per_sec(
+        mesh, cam, HEIGHT, WIDTH, R_INNER,
+        "views_per_sec_per_chip_6view_512_posnormal_10ktri",
+        baseline=TARGET,
+        render_attr=False, render_depth=False, render_normal=True,
+        raster_config=cfg,
+    )
+
+
+def _textured_icosphere(subdiv=3, tex=512):
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+
+    verts, faces, uv = uv_sphere_mesh(65, 129)  # ~16k tris
+    t = (np.indices((tex, tex)).sum(0) // 32 % 2).astype(np.float32)
+    return TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.stack([t, 1 - t, t * 0 + 0.5], -1),
+    )
+
+
+def bench_config1():
+    """Textured icosphere -> 6 orbit views of 256^2 position/normal maps."""
+    from worldrenderer_tpu import get_camera
+
+    mesh = _textured_icosphere()
+    cam = get_camera(
+        elevation_deg=20.0, distance=2.7, fovy_deg=40.0, num_views=6,
+        near=0.1, far=10.0,
+    )
+    _render_views_per_sec(
+        mesh, cam, 256, 256, 8,
+        "c1_views_per_sec_6view_256_posnormal_icosphere",
+        render_attr=False, render_depth=False, render_normal=True,
+        raster_config=_fast_cfg(),
+    )
+
+
+def bench_config2():
+    """Orbit rig: 32 views at 512^2 with depth + normal buffers."""
+    from worldrenderer_tpu import get_camera
+
+    mesh = _textured_icosphere()
+    cam = get_camera(
+        elevation_deg=15.0, distance=2.7, fovy_deg=40.0, num_views=32,
+        near=0.1, far=10.0,
+    )
+    _render_views_per_sec(
+        mesh, cam, 512, 512, 2,
+        "c2_views_per_sec_32view_512_depthnormal_orbit",
+        render_attr=False, render_depth=True, render_normal=True,
+        raster_config=_fast_cfg(),
+    )
+
+
+def bench_config3():
+    """Procedural fractal-noise terrain -> 8 shaded aerial views at 512^2."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+
+    # 4-octave value-noise heightfield (fixed seed), ~20k tris.
+    rng = np.random.default_rng(0)
+    n = 101
+
+    def fractal(x, y):
+        h = np.zeros_like(x)
+        for octv in range(4):
+            f = 2.0**octv
+            h += (
+                np.sin(f * 3 * x + rng.uniform(0, 6))
+                * np.cos(f * 2.7 * y + rng.uniform(0, 6))
+                / (2.0**octv)
+            )
+        return 0.15 * h
+
+    verts, faces = make_grid_mesh(n, extent=2.0, height_fn=fractal)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+    cam = get_camera(
+        elevation_deg=55.0, distance=3.5, fovy_deg=45.0, num_views=8,
+        near=0.1, far=20.0,
+    )
+    # "Shaded": normals + depth (the lambert dot folds into the checksum
+    # via the normal sum — shading is one fused elementwise op on TPU).
+    _render_views_per_sec(
+        mesh, cam, 512, 512, 4,
+        "c3_views_per_sec_8view_512_shaded_terrain_20ktri",
+        render_attr=False, render_depth=True, render_normal=True,
+        raster_config=_fast_cfg(),
+    )
+
+
+def bench_config4():
+    """10k-tri scene with UV texture sampling + per-face materials, 1024^2."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+
+    verts, faces = make_grid_mesh(
+        72, extent=1.0, height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y)
+    )
+    # Planar UVs + checker texture + a per-face material scalar riding as a
+    # vertex attr (face-constant after indexing).
+    uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
+    t = (np.indices((1024, 1024)).sum(0) // 64 % 2).astype(np.float32)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.stack([t, 1 - t, t * 0 + 0.5], -1),
+    )
+    cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=4,
+        near=0.1, far=10.0,
+    )
+    _render_views_per_sec(
+        mesh, cam, 1024, 1024, 2,
+        "c4_views_per_sec_4view_1024_uvtexture_10ktri",
+        render_attr=True, render_depth=True, render_normal=True,
+        raster_config=_fast_cfg(),
+    )
+
+
+def bench_config5():
+    """Dataset-gen sweep: M meshes x 12 randomized poses, views/s/chip.
+
+    Single-chip proxy of the BASELINE config-5 sweep (1k meshes x 12 poses
+    across a TPU mesh): the per-chip work — one mesh's 12-pose batched
+    render plus host-side pose randomization — is identical under view-axis
+    sharding (tests/test_parallel.py proves sharded == single); aggregate
+    throughput scales with chips."""
+    import jax
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.render import render
+
+    n_meshes, n_poses = 8, 12
+    rng = np.random.default_rng(0)
+    render_fn = functools.partial(
+        render, height=512, width=512,
+        render_attr=False, render_depth=True, render_normal=True,
+        raster_config=_fast_cfg(),
+    )
+
+    @jax.jit
+    def step(mesh, cam, seed):
+        out = render_fn(mesh, cam._replace(mvp_mtx=cam.mvp_mtx + seed * 1e-6))
+        return (
+            jnp.sum(jnp.abs(out.normal))
+            + jnp.sum(jnp.abs(out.depth))
+            + jnp.sum(out.mask)
+        )
+
+    meshes = []
+    cams = []
+    for m in range(n_meshes):
+        amp = 0.2 + 0.2 * rng.random()
+        fx, fy = 2 + 3 * rng.random(), 2 + 3 * rng.random()
+        verts, faces = make_grid_mesh(
+            72, extent=1.0,
+            height_fn=lambda x, y, a=amp, u=fx, v=fy: a * np.sin(u * x) * np.cos(v * y),
+        )
+        meshes.append(TexturedMesh(
+            v_pos=jnp.asarray(verts, jnp.float32),
+            t_pos_idx=jnp.asarray(faces, jnp.int32),
+        ))
+        cams.append(get_camera(
+            elevation_deg=list(rng.uniform(15, 70, n_poses)),
+            distance=list(rng.uniform(2.2, 3.5, n_poses)),
+            fovy_deg=[45.0] * n_poses,
+            azimuth_deg=list(rng.uniform(0, 360, n_poses)),
+            near=0.1, far=10.0,
+        ))
+
+    # Warmup (one compile covers all meshes: identical shapes).
+    float(step(meshes[0], cams[0], jnp.float32(0)))
     tiny = jax.jit(lambda x: x + 1.0)
     float(tiny(jnp.float32(0)))
     t0 = time.perf_counter()
-    reps_floor = 5
-    for i in range(reps_floor):
+    for i in range(5):
         float(tiny(jnp.float32(i)))
-    floor = (time.perf_counter() - t0) / reps_floor
+    floor = (time.perf_counter() - t0) / 5
 
-    # Warmup / compile.
-    float(bench_step(mesh, cam, jnp.float32(0)))
-
-    reps = 2
-    while True:
-        t0 = time.perf_counter()
-        for i in range(reps):
-            v = float(bench_step(mesh, cam, jnp.float32(i)))
-        dt = time.perf_counter() - t0
-        if dt > 2.0 or reps >= 64:
-            break
-        reps *= 4
-    assert np.isfinite(v)
-
-    compute_time = max(dt - floor * reps, 1e-9)
-    views_per_sec = N_VIEWS * R_INNER * reps / compute_time
-    print(
-        json.dumps(
-            {
-                "metric": "views_per_sec_per_chip_6view_512_posnormal_10ktri",
-                "value": round(views_per_sec, 2),
-                "unit": "views/s",
-                "vs_baseline": round(views_per_sec / TARGET, 4),
-            }
-        )
+    t0 = time.perf_counter()
+    acc = 0.0
+    for m in range(n_meshes):
+        acc += float(step(meshes[m], cams[m], jnp.float32(m + 1)))
+    dt = time.perf_counter() - t0 - floor * n_meshes
+    assert np.isfinite(acc)
+    _emit(
+        "c5_sweep_views_per_sec_per_chip_12pose_512",
+        n_meshes * n_poses / max(dt, 1e-9),
+        "views/s/chip",
     )
+
+
+def bench_projection():
+    """camera_projection end-to-end at uv_size 2048 (the reference's real
+    workload: mvadapter/test/README.md uv_size 2048-4096, 6-24 views)."""
+    import jax
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking import (
+        uv_blend, uv_precompute, uv_render_attr, uv_render_geometry,
+    )
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+    from worldrenderer_tpu.render import render
+
+    uv_size = 2048
+    n_views, res = 6, 512
+    verts, faces, uv = uv_sphere_mesh(65, 129)
+    tex = np.zeros((64, 64, 3), np.float32)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=20.0, distance=2.7, fovy_deg=40.0, num_views=n_views,
+        near=0.1, far=10.0,
+    )
+    views = render(mesh, cam, res, res, render_attr=True).attr
+
+    @jax.jit
+    def project(mesh, cam, views, seed):
+        pre = uv_precompute(mesh, uv_size, uv_size)
+        geo = uv_render_geometry(mesh, cam, res, res, pre)
+        attr = uv_render_attr(views + seed * 1e-9, geo)
+        out = uv_blend(pre, geo, attr, do_uv_padding=False).uv_attr_blend
+        return jnp.sum(jnp.abs(out))
+
+    sec = _time_scanned(project, mesh, cam, views)
+    _emit(
+        f"projection_e2e_sec_uv{uv_size}_{n_views}view_{res}", sec, "s",
+    )
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "headline"
+    benches = {
+        "headline": bench_headline,
+        "config1": bench_config1,
+        "config2": bench_config2,
+        "config3": bench_config3,
+        "config4": bench_config4,
+        "config5": bench_config5,
+        "projection": bench_projection,
+    }
+    if which == "all":
+        for fn in benches.values():
+            fn()
+        return
+    benches[which]()
 
 
 if __name__ == "__main__":
