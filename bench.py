@@ -111,11 +111,20 @@ def _render_views_per_sec(
     mesh, cam, height, width, r_inner, metric, baseline=None, **render_kw
 ):
     """Shared harness: R_inner perturbed renders inside one lax.scan,
-    checksum-forced."""
+    checksum-forced. Guards the scene against the config's lossy binning
+    budgets first (exact diagnostic, no doubled run)."""
     import jax
     import jax.numpy as jnp
 
+    from worldrenderer_tpu.ops.rasterize import binning_stats
     from worldrenderer_tpu.render import render
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    cfg = render_kw.get("raster_config")
+    if cfg is not None:
+        pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+        stats = binning_stats(pos_clip, mesh.t_pos_idx, (height, width), cfg)
+        assert stats["ok"], f"binning budgets lossy for this scene: {stats}"
 
     n_views = int(cam.mvp_mtx.shape[0])
     render_fn = functools.partial(render, height=height, width=width, **render_kw)

@@ -97,6 +97,7 @@ def test_uv_render_geometry_consistency(sphere_mesh, cameras, pre):
     assert aoi.min() >= 0.0 and aoi.max() <= 1.0 + 1e-6
 
 
+@pytest.mark.slow
 def test_projection_roundtrip(sphere_mesh, cameras):
     """Render views with the known texture, bake them back, compare."""
     views = render(
@@ -191,6 +192,7 @@ def test_uv_blend_pb_solver_variants(sphere_mesh, cameras, pb_solver):
         assert np.abs(np.asarray(out) - np.asarray(ref)).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_uv_precompute_fast_path_matches_classic():
     """At atlas scale (T >= sort_pairs threshold) uv_precompute routes
     through the fused G-buffer (v_pos interpolated over t_pos_idx via

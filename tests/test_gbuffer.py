@@ -116,6 +116,7 @@ def test_render_fused_matches_classic(backend):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas", "vpu_pallas"])
 def test_fused_flat_binning_large_mesh(backend):
     """Meshes above the sort_pairs threshold route through the flat

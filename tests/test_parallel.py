@@ -49,6 +49,7 @@ def test_sharded_render_matches_single_device(small_scene):
     np.testing.assert_array_equal(np.asarray(out.mask), np.asarray(ref.mask))
 
 
+@pytest.mark.slow
 def test_texture_fit_converges_sharded(small_scene):
     mesh, cam = small_scene
     dm = make_device_mesh()
@@ -111,6 +112,7 @@ def test_sweep_runner_resume(small_scene, tmp_path):
     assert results2 == [None, None]
 
 
+@pytest.mark.slow
 def test_uv_projection_sharded_matches_single(small_scene):
     """The inverse-rendering core under sharded view axes must match the
     single-device result: uv_render_geometry/attr shard their leading Nv

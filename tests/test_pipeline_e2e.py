@@ -46,6 +46,7 @@ def scene(tmp_path_factory):
     return {"glb": glb, "cam_json": cam_json, "cam": cam, "tex": tex}
 
 
+@pytest.mark.slow
 def test_texture_pipeline_custom_cameras(scene, tmp_path):
     # Render ground-truth views with the original texture...
     mesh = load_mesh(str(scene["glb"]), flip_uv=True)

@@ -1,6 +1,7 @@
 """Golden tests: JAX tiled rasterizer vs the independent NumPy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from worldrenderer_tpu import (
@@ -207,6 +208,7 @@ def test_sort_pairs_binning_matches_argsort():
         assert sa == sb, f"tile {tile}: sets differ ({len(sa)} vs {len(sb)})"
 
 
+@pytest.mark.slow
 def test_rasterize_large_mesh_sort_pairs_vs_argsort():
     """End-to-end agreement of both binning modes on a mesh big enough to
     trigger the sort_pairs path."""
@@ -233,6 +235,7 @@ def test_rasterize_large_mesh_sort_pairs_vs_argsort():
     np.testing.assert_allclose(a[..., :2], b[..., :2], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_huge_triangle_in_sorted_stream():
     """Triangles whose bbox exceeds the replica span must still rasterize
     exactly through the flat sort_pairs path: they get per-overlapped-tile
@@ -278,6 +281,7 @@ def test_huge_triangle_in_sorted_stream():
     np.testing.assert_allclose(a[..., :2], b[..., :2], atol=1e-4)
 
 
+@pytest.mark.slow
 def test_binning_budget_guard_catches_lossy_cap():
     """The doubled-budget z+id guard (bench.check_binning_budgets) must
     detect an artificially lowered per-tile cap — including drops hidden
@@ -364,6 +368,7 @@ def test_camera_inside_icosphere():
     _crossing_err_check(r_j, r_n)
 
 
+@pytest.mark.slow
 def test_near_plane_crossing_terrain_flythrough():
     """Low camera over a 10k-tri heightfield (the reference's town-flythrough
     shape, mvadapter/test/pipeline.py): exercises crossing triangles through
@@ -504,3 +509,32 @@ def test_antialias_wired_through_render():
         boundary, structure=np.ones((1, 3, 3), bool)
     )
     assert (changed <= near_edge).all()
+
+
+def test_binning_stats_diagnostic():
+    """binning_stats must certify the FAST budgets on the flythrough scene
+    (post tight-crossing-bbox) and flag artificially tiny budgets."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, binning_stats
+
+    verts, faces = make_grid_mesh(
+        72, extent=5.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    cam = get_camera(
+        elevation_deg=[8.0], distance=[0.5], fovy_deg=[65.0],
+        azimuth_deg=[25.0], near=0.05, far=50.0,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    stats = binning_stats(pos_clip, tri, (512, 512), FAST_TPU_CONFIG)
+    assert stats["ok"], stats
+    # The stats must agree with an exact offline recount of per-tile loads.
+    assert 0 < stats["n_huge"] <= 64
+    assert stats["max_per_tile"] > 100
+
+    tiny = binning_stats(
+        pos_clip, tri, (512, 512),
+        FAST_TPU_CONFIG._replace(bin_huge=4, max_tris_per_tile=64),
+    )
+    assert not tiny["ok"]

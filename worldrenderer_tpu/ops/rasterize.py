@@ -62,7 +62,9 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rasterize", "RasterizerConfig", "FAST_TPU_CONFIG"]
+__all__ = [
+    "rasterize", "RasterizerConfig", "FAST_TPU_CONFIG", "binning_stats",
+]
 
 _W_EPS = 1e-8
 
@@ -884,6 +886,82 @@ def _rasterize_single(
         .reshape(ph, pw)[:height, :width]
     )
     return _resolve_uv(setup, idmap, zmap)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _binning_stats_jit(pos, tri, resolution, config):
+    height, width = resolution
+    tile_h, tile_w = config.tile_h, config.tile_w
+    n_ty = -(-height // tile_h)
+    n_tx = -(-width // tile_w)
+    t_total = tri.shape[0]
+    k_cap = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
+
+    def per_view(pos_clip):
+        setup = _triangle_setup_t(pos_clip, tri, width, height)
+        xmin, xmax, ymin, ymax = _bbox_vectors(setup)
+        tx0 = jnp.clip(jnp.floor((xmin - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+        tx1 = jnp.clip(jnp.floor((xmax + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+        ty0 = jnp.clip(jnp.floor((ymin - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+        ty1 = jnp.clip(jnp.floor((ymax + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+        on = (
+            (xmax >= 0) & (xmin <= width) & (ymax >= 0) & (ymin <= height)
+            & setup.valid[:-1]
+        )
+        span_x = tx1 - tx0 + 1
+        span_y = ty1 - ty0 + 1
+        huge = ((span_x > config.bin_span_tiles_x)
+                | (span_y > config.bin_span_tiles_y)) & on
+        n_huge = jnp.sum(huge)
+        live = jnp.sum(jnp.where(on, span_x * span_y, 0))
+        # Exact per-tile counts via a 2D difference grid + prefix sums:
+        # +1 at (ty0, tx0), -1 at (ty0, tx1+1)/(ty1+1, tx0), +1 at
+        # (ty1+1, tx1+1), then cumsum along both axes — O(T + n_tiles)
+        # at any atlas size (no (T, n_tiles) overlap matrix).
+        grid = jnp.zeros((n_ty + 1, n_tx + 1), jnp.int32)
+        one = jnp.where(on, 1, 0).astype(jnp.int32)
+        grid = grid.at[ty0, tx0].add(one)
+        grid = grid.at[ty0, tx1 + 1].add(-one)
+        grid = grid.at[ty1 + 1, tx0].add(-one)
+        grid = grid.at[ty1 + 1, tx1 + 1].add(one)
+        counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:n_ty, :n_tx]
+        return n_huge, live, counts.max()
+
+    n_huge, live, max_tile = jax.vmap(per_view)(pos)
+    return n_huge.max(), live.max(), max_tile.max(), jnp.int32(k_cap)
+
+
+def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
+    """Exact per-scene binning-budget diagnostics (failure detection for
+    the lossy sort_pairs budgets; cheap — no rasterization, no doubled
+    run). pos (B, V, 4) clip positions.
+
+    Returns a dict with the worst-case-over-views numbers and their
+    configured capacities; ``ok`` is True iff every budget holds, i.e. the
+    flat binning is guaranteed lossless for this scene/config."""
+    n_huge, live, max_tile, k_cap = _binning_stats_jit(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(tri, jnp.int32),
+        tuple(resolution), config,
+    )
+    t_total = int(tri.shape[0])
+    flat_cap = (
+        config.bin_flat_cap_factor * t_total
+        if config.bin_flat_cap_factor > 0 else 2**62
+    )
+    stats = {
+        "n_huge": int(n_huge),
+        "huge_budget": int(config.bin_huge),
+        "live_entries": int(live),
+        "flat_cap": int(min(flat_cap, 2**62)),
+        "max_per_tile": int(max_tile),
+        "k_cap": int(k_cap),
+    }
+    stats["ok"] = (
+        stats["n_huge"] <= stats["huge_budget"]
+        and stats["live_entries"] <= stats["flat_cap"]
+        and stats["max_per_tile"] <= stats["k_cap"]
+    )
+    return stats
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3))
