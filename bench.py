@@ -417,7 +417,7 @@ def bench_projection():
     uv_size = 2048
     n_views, res = 6, 512
     verts, faces, uv = uv_sphere_mesh(65, 129)
-    tex = np.zeros((64, 64, 3), np.float32)
+    tex = np.zeros((uv_size, uv_size, 3), np.float32)
     mesh = TexturedMesh(
         v_pos=jnp.asarray(verts, jnp.float32),
         t_pos_idx=jnp.asarray(faces, jnp.int32),
