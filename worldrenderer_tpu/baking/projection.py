@@ -11,13 +11,15 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..camera import Camera, get_camera
 from ..mesh import TexturedMesh
-from ..ops.rasterize import DEFAULT_CONFIG, RasterizerConfig
+from ..ops.rasterize import DEFAULT_CONFIG, RasterizerConfig, binning_stats
 from ..render import render
+from ..transforms import get_clip_space_position
 from .uv import (
     ExponentialBlend,
     SimpleUVValidityStrategy,
@@ -35,6 +37,56 @@ class CameraProjectionOutput(NamedTuple):
     uv_proj_mask: Optional[jnp.ndarray]
     uv_depth_grad: Optional[jnp.ndarray]
     uv_aoi_cos: Optional[jnp.ndarray]
+
+
+def _validate_binning_budgets(
+    mesh: TexturedMesh,
+    cam: Camera,
+    height: int,
+    width: int,
+    uv_size: int,
+    config: RasterizerConfig,
+) -> None:
+    """Fail loudly when the config's lossy binning budgets would silently
+    drop triangles for THIS scene — in either of the projection's two
+    rasterizations (view-space render of t_pos_idx; UV-atlas rasterization
+    of t_tex_idx). binning_stats is exact and cheap (no rasterization)."""
+    checks = []
+    if mesh.t_pos_idx.shape[0] >= config.bin_sort_pairs_min_tris:
+        pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+        checks.append(
+            ("view-space render", pos_clip, mesh.t_pos_idx, (height, width))
+        )
+    if (
+        mesh.v_tex is not None
+        and mesh.t_tex_idx.shape[0] >= config.bin_sort_pairs_min_tris
+    ):
+        uv_clip = mesh.v_tex * 2.0 - 1.0
+        uv_clip4 = jnp.concatenate(
+            [
+                uv_clip,
+                jnp.zeros_like(uv_clip[..., :1]),
+                jnp.ones_like(uv_clip[..., :1]),
+            ],
+            axis=-1,
+        )[None]
+        checks.append(
+            ("UV-atlas rasterization", uv_clip4, mesh.t_tex_idx,
+             (uv_size, uv_size))
+        )
+    if config.bin_mode != "sort_pairs":
+        checks = []
+    for name, pos, tri, resolution in checks:
+        stats = binning_stats(pos, tri, resolution, config)
+        if not stats["ok"]:
+            raise ValueError(
+                f"camera_projection: rasterizer binning budgets are lossy "
+                f"for this scene's {name} at {resolution}: {stats}. Raise "
+                f"the failing budget (max_tris_per_tile >= max_per_tile, "
+                f"bin_huge >= n_huge, bin_flat_cap_factor * T >= "
+                f"live_entries) in the RasterizerConfig, or pass "
+                f"validate_binning=False to accept dropped triangles."
+            )
 
 
 def camera_projection(
@@ -66,12 +118,19 @@ def camera_projection(
     uv_padding: bool = True,
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
     verbose: bool = False,
+    validate_binning: bool = True,
 ) -> Optional[CameraProjectionOutput]:
     """Project multi-view images onto the mesh's UV texture.
 
     Returns None when the given masks disagree with the rendered silhouettes
     by more than ``iou_rejection_threshold`` (projection.py:126-138) — a host
     decision on two reduced scalars, so it costs one tiny device->host sync.
+
+    ``validate_binning``: check the rasterizer's lossy binning budgets
+    (per-tile cap / flat-list cap / huge-list size) against this exact
+    scene+cameras before projecting, and fail loudly instead of silently
+    dropping triangles (the budgets are per-scene knobs; see
+    ops.rasterize.binning_stats). Skipped automatically under jit tracing.
     """
     images = jnp.asarray(images, jnp.float32)
     assert images.ndim == 4, "images must be (Nv, H, W, C)"
@@ -95,6 +154,11 @@ def camera_projection(
             num_views=num_views,
             c2w=c2w,
             aspect_wh=width / height,
+        )
+
+    if validate_binning and not isinstance(images, jax.core.Tracer):
+        _validate_binning_budgets(
+            mesh, cam, height, width, uv_size, raster_config
         )
 
     pre = uv_precompute(mesh, height=uv_size, width=uv_size, raster_config=raster_config)

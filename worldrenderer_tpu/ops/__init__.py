@@ -18,7 +18,7 @@ from .poisson import (
     poisson_blend_cropped,
     poisson_blend_multigrid,
 )
-from .rasterize import RasterizerConfig, rasterize
+from .rasterize import RasterizerConfig, rasterize, rasterize_db
 from .tensor import (
     c2w_to_polar,
     chunk_batch,
@@ -32,15 +32,17 @@ from .tensor import (
     scale_tensor,
     trunc_exp,
 )
-from .texture import texture
+from .texture import texture, texture_construct_mip
 
 __all__ = [
     "RasterizerConfig",
     "rasterize",
+    "rasterize_db",
     "rasterize_gbuffer",
     "GBufferOutput",
     "interpolate",
     "texture",
+    "texture_construct_mip",
     "grid_sample",
     "antialias",
     "reflect",

@@ -18,10 +18,12 @@ it replaces).
 
 from __future__ import annotations
 
+from typing import Optional, Sequence
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["texture"]
+__all__ = ["texture", "texture_construct_mip"]
 
 
 def _boundary(idx: jnp.ndarray, size: int, mode: str) -> jnp.ndarray:
@@ -55,23 +57,69 @@ def _quad_table(tex: jnp.ndarray, boundary_mode: str):
     )
 
 
+def texture_construct_mip(
+    tex: jnp.ndarray, max_mip_level: Optional[int] = None
+) -> list:
+    """Mipmap stack for :func:`texture` (nvdiffrast texture_construct_mip
+    equivalent; reference render.py:83-120 documents the contract). The base
+    level is NOT included. Levels are 2x2 box-filtered averages; the chain
+    stops when either dimension turns odd (or at max_mip_level)."""
+    tex = jnp.asarray(tex, jnp.float32)
+    levels = []
+    t = tex
+    th, tw = t.shape[1], t.shape[2]
+    while (
+        th % 2 == 0 and tw % 2 == 0 and th >= 2 and tw >= 2
+        and (max_mip_level is None or len(levels) < max_mip_level)
+    ):
+        t = 0.25 * (
+            t[:, 0::2, 0::2] + t[:, 0::2, 1::2]
+            + t[:, 1::2, 0::2] + t[:, 1::2, 1::2]
+        )
+        th //= 2
+        tw //= 2
+        levels.append(t)
+    return levels
+
+
 def texture(
     tex: jnp.ndarray,
     uv: jnp.ndarray,
+    uv_da: Optional[jnp.ndarray] = None,
+    mip_level_bias: Optional[jnp.ndarray] = None,
+    mip: Optional[Sequence[jnp.ndarray]] = None,
     filter_mode: str = "linear",
     boundary_mode: str = "wrap",
+    max_mip_level: Optional[int] = None,
 ) -> jnp.ndarray:
     """Sample a 2D texture.
 
     tex: (B, TH, TW, C) or (1, TH, TW, C) float32 (broadcast over batch).
     uv:  (B, H, W, 2) float32 texture coordinates.
+    uv_da: (B, H, W, 4) image-space uv derivatives (du/dX, du/dY, dv/dX,
+        dv/dY) from :func:`rasterize_db` — drives mip level selection.
+    mip_level_bias: (B, H, W) additive mip level (or the level itself when
+        uv_da is omitted).
+    mip: optional prebuilt stack from :func:`texture_construct_mip`.
+    filter_mode: 'auto' | 'nearest' | 'linear' | 'linear-mipmap-nearest' |
+        'linear-mipmap-linear' ('auto' = 'linear-mipmap-linear' when uv_da
+        or mip_level_bias is given, else 'linear'; nvdiffrast semantics).
 
     Returns (B, H, W, C).
     """
     tex = jnp.asarray(tex, jnp.float32)
     uv = jnp.asarray(uv, jnp.float32)
     if filter_mode == "auto":
-        filter_mode = "linear"
+        filter_mode = (
+            "linear-mipmap-linear"
+            if (uv_da is not None or mip_level_bias is not None)
+            else "linear"
+        )
+    if filter_mode in ("linear-mipmap-nearest", "linear-mipmap-linear"):
+        return _texture_mip(
+            tex, uv, uv_da, mip_level_bias, mip, filter_mode, boundary_mode,
+            max_mip_level,
+        )
     b = uv.shape[0]
     th, tw = tex.shape[1], tex.shape[2]
     c_ch = tex.shape[3]
@@ -144,3 +192,113 @@ def texture(
         w10 = w10 * (in_x0 & in_y1)
         w11 = w11 * (in_x1 & in_y1)
     return t00 * w00 + t01 * w01 + t10 * w10 + t11 * w11
+
+
+def _texture_mip(
+    tex, uv, uv_da, mip_level_bias, mip, filter_mode, boundary_mode,
+    max_mip_level,
+):
+    """Mip-mapped sampling: every level's quad table is flattened and packed
+    into ONE row table with per-level offsets, so a pixel's bilinear tap at
+    its (per-pixel, data-dependent) mip level is still a single row gather —
+    2 gathers total for trilinear. Level selection follows nvdiffrast:
+    level = 0.5 * log2(max footprint axis in texel^2 units) + bias."""
+    b = uv.shape[0]
+    th, tw = tex.shape[1], tex.shape[2]
+    c_ch = tex.shape[3]
+    shared = tex.shape[0] == 1 and b > 1
+
+    levels = [tex] + list(
+        mip if mip is not None else texture_construct_mip(tex, max_mip_level)
+    )
+    n_lvl = len(levels)
+
+    offs, tws, ths, qws = [], [], [], []
+    packed = []
+    at = 0
+    for lv in levels:
+        q = _quad_table(lv, boundary_mode)  # (B, QH, QW, 4C)
+        qh_l, qw_l = q.shape[1], q.shape[2]
+        packed.append(q.reshape(q.shape[0], qh_l * qw_l, 4 * c_ch))
+        offs.append(at)
+        tws.append(lv.shape[2])
+        ths.append(lv.shape[1])
+        qws.append(qw_l)
+        at += qh_l * qw_l
+    packed = jnp.concatenate(packed, axis=1)  # (B, R_total, 4C)
+    offs = jnp.asarray(offs, jnp.int32)
+    tws_i = jnp.asarray(tws, jnp.int32)
+    ths_i = jnp.asarray(ths, jnp.int32)
+    qws_i = jnp.asarray(qws, jnp.int32)
+    tws_f = tws_i.astype(jnp.float32)
+    ths_f = ths_i.astype(jnp.float32)
+
+    # Per-pixel level (f32).
+    if uv_da is not None:
+        dx2 = (uv_da[..., 0] * tw) ** 2 + (uv_da[..., 2] * th) ** 2
+        dy2 = (uv_da[..., 1] * tw) ** 2 + (uv_da[..., 3] * th) ** 2
+        foot = jnp.maximum(jnp.maximum(dx2, dy2), 1e-20)
+        lvl = 0.5 * jnp.log2(foot)
+        if mip_level_bias is not None:
+            lvl = lvl + mip_level_bias
+    elif mip_level_bias is not None:
+        lvl = jnp.broadcast_to(
+            jnp.asarray(mip_level_bias, jnp.float32), uv.shape[:-1]
+        )
+    else:
+        raise ValueError(
+            "mip-mapped filter modes need uv_da and/or mip_level_bias"
+        )
+    lvl = jnp.clip(lvl, 0.0, float(n_lvl - 1))
+
+    def sample_level(li):  # li (B, H, W) int32 per-pixel level index
+        twp = tws_f[li]
+        thp = ths_f[li]
+        x = uv[..., 0] * twp - 0.5
+        y = uv[..., 1] * thp - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0.astype(jnp.float32))[..., None]
+        fy = (y - y0.astype(jnp.float32))[..., None]
+        twi = tws_i[li]
+        thi = ths_i[li]
+        if boundary_mode == "wrap":
+            ix = jnp.mod(x0, twi)
+            iy = jnp.mod(y0, thi)
+        else:
+            ix = jnp.clip(x0 + 1, 0, twi)
+            iy = jnp.clip(y0 + 1, 0, thi)
+        flat = offs[li] + iy * qws_i[li] + ix
+
+        def g(packed_b, flat_b):
+            return packed_b[flat_b]  # (H, W, 4C)
+
+        taps = jax.vmap(g, in_axes=(None if shared else 0, 0))(
+            packed[0] if shared else packed, flat
+        )
+        w00 = (1.0 - fx) * (1.0 - fy)
+        w01 = fx * (1.0 - fy)
+        w10 = (1.0 - fx) * fy
+        w11 = fx * fy
+        if boundary_mode == "zero":
+            in_x0 = ((x0 >= 0) & (x0 < twi))[..., None]
+            in_x1 = ((x0 + 1 >= 0) & (x0 + 1 < twi))[..., None]
+            in_y0 = ((y0 >= 0) & (y0 < thi))[..., None]
+            in_y1 = ((y0 + 1 >= 0) & (y0 + 1 < thi))[..., None]
+            w00 = w00 * (in_x0 & in_y0)
+            w01 = w01 * (in_x1 & in_y0)
+            w10 = w10 * (in_x0 & in_y1)
+            w11 = w11 * (in_x1 & in_y1)
+        return (
+            taps[..., 0 * c_ch : 1 * c_ch] * w00
+            + taps[..., 1 * c_ch : 2 * c_ch] * w01
+            + taps[..., 2 * c_ch : 3 * c_ch] * w10
+            + taps[..., 3 * c_ch : 4 * c_ch] * w11
+        )
+
+    if filter_mode == "linear-mipmap-nearest":
+        return sample_level(jnp.round(lvl).astype(jnp.int32))
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, n_lvl - 1)
+    f = (lvl - l0.astype(jnp.float32))[..., None]
+    return sample_level(l0) * (1.0 - f) + sample_level(l1) * f
