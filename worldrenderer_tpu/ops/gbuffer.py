@@ -247,25 +247,26 @@ def _flat_chunks(
         n_tiles - 1,
     )  # (NCH,)
     chunk_rank = qidx - start_chunks[chunk_tile]
+    s_tri_pad = jnp.concatenate(
+        [s_tri, jnp.full((c,), t_total, jnp.int32)]
+    )
+    csrc = jnp.clip(
+        starts[chunk_tile] + chunk_rank * c, 0, s_tri_pad.shape[0] - c
+    )
     ccount = counts_c[chunk_tile] - chunk_rank * c  # live lanes in chunk
 
-    # ONE fused record gather per SORTED-LIST entry (l_keys rows, the live
-    # list): 4 geometry planes, the triangle id, the attribute planes,
-    # validity. Gathering after the c-aligned re-layout instead would pay
-    # for every alignment-padding slot too (~45% more rows on typical
-    # scenes — row gathers are latency-bound at ~12-28 ns each). The
-    # aligned chunk layout is then assembled from the gathered values with
-    # cheap CONTIGUOUS vmapped dynamic slices (coalesced block reads).
-    # Everything keeps the entry count on the LANE dim — per-entry layouts
-    # like (L, 4, 3) tile their (4, 3) minor dims to (8, 128) on TPU, a
-    # ~85x VMEM/HBM blowup.
-    l_src = s_tri.shape[0] + c
-    s_tri_pad = jnp.concatenate([s_tri, jnp.full((c,), t_total, jnp.int32)])
-    s_tile_pad = jnp.concatenate(
-        [s_tile, jnp.full((c,), n_tiles, jnp.int32)]
-    )
-    csrc = jnp.clip(starts[chunk_tile] + chunk_rank * c, 0, l_src - c)
+    ids2d = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(s_tri_pad, (s,), (c,))
+    )(csrc)  # (NCH, c)
+    lane = jnp.arange(c, dtype=jnp.int32)[None, :]
+    live2d = lane < ccount[:, None]
+    flat_ids = jnp.where(live2d, ids2d, t_total).reshape(l_cap)
 
+    # ONE fused record gather per entry: 4 geometry planes, the triangle id,
+    # the attribute planes, validity. Everything before and after the
+    # gather keeps the triangle/entry count on the LANE dim — per-entry
+    # layouts like (l_cap, 4, 3) tile their (4, 3) minor dims to (8, 128)
+    # on TPU, a ~85x VMEM/HBM blowup.
     record_t = jnp.concatenate(
         [
             setup.planes12,
@@ -275,64 +276,54 @@ def _flat_chunks(
         ],
         axis=0,
     )  # (14 + 3nv, T+1)
-    rec_t = record_t.T[s_tri_pad].T  # THE gather: (rows, l_src)
-    p12 = rec_t[:12].reshape(4, 3, l_src)
-    pa = p12[:, 0]  # (4, l_src) alpha of e0, e1, e2, z
+    rec_t = record_t.T[flat_ids].T  # gather rows, one small + one big transpose
+    p12 = rec_t[:12].reshape(4, 3, l_cap)
+    pa = p12[:, 0]  # (4, l_cap) alpha of e0, e1, e2, z
     pb = p12[:, 1]
     pgm = p12[:, 2]
-    idv = rec_t[12:13]  # (1, l_src)
-    ap3 = rec_t[13 : 13 + 3 * nv].reshape(nv, 3, l_src)
-    validv = rec_t[-1] > 0.5  # (l_src,)
+    idv = rec_t[12:13]  # (1, l_cap)
+    ap3 = rec_t[13 : 13 + 3 * nv].reshape(nv, 3, l_cap)
+    validv = rec_t[-1] > 0.5  # (l_cap,)
 
-    # Per-entry rebase to the OWNING tile's origin (s_tile): equals the
-    # consuming chunk's tile for every in-segment entry; out-of-segment
-    # window overrun is killed per chunk after slicing.
-    st = jnp.clip(s_tile_pad, 0, n_tiles - 1)
-    ox = ((st % n_tx) * tile_w).astype(jnp.float32)[None]
-    oy = ((st // n_tx) * tile_h).astype(jnp.float32)[None]
-    pg = pgm + pa * ox + pb * oy  # (4, l_src) rebased constants
+    ox = jnp.broadcast_to(
+        ((chunk_tile % n_tx) * tile_w).astype(jnp.float32)[:, None],
+        (nch_total, c),
+    ).reshape(1, l_cap)
+    oy = jnp.broadcast_to(
+        ((chunk_tile // n_tx) * tile_h).astype(jnp.float32)[:, None],
+        (nch_total, c),
+    ).reshape(1, l_cap)
+    pg = pgm + pa * ox + pb * oy  # (4, l_cap) rebased constants
     pg = pg.at[0].set(jnp.where(validv, pg[0], _BIG_NEG))
-    ag = ap3[:, 2] + ap3[:, 0] * ox + ap3[:, 1] * oy  # (nv, l_src)
+    ag = ap3[:, 2] + ap3[:, 0] * ox + ap3[:, 1] * oy  # (nv, l_cap)
+
+    # Coef dim padded 3 -> 4 (zero row): DMA slice shapes must align to the
+    # sublane tiling; the kernel's B matrix carries a matching zero row.
+    planes_flat = jnp.stack(
+        [pa, pb, pg, jnp.zeros_like(pg)], axis=0
+    )  # (4 coef, 4 row, l_cap)
+    planes_flat = (
+        planes_flat.reshape(4, 4, nch_total, c)
+        .transpose(0, 2, 1, 3)
+        .reshape(4, nch_total * 4 * c)
+    )
 
     m_sel = 4 + 3 * nv
     m_pad = -(-m_sel // 8) * 8
-    # Single source stack: 16 plane rows ([a, b, g, 0] x [e0, e1, e2, z],
-    # coef-major; the zero row pads the DMA slice to the sublane tiling and
-    # pairs with the kernel B matrix's zero row) + m_pad select rows.
     val_rows = jnp.stack([ap3[:, 0], ap3[:, 1], ag], axis=1).reshape(
-        3 * nv, l_src
+        3 * nv, l_cap
     )  # (a, b, g) per value
-    src = jnp.concatenate(
+    sel_flat = jnp.concatenate(
         [
-            pa, pb, pg, jnp.zeros_like(pg),  # (16, l_src)
-            idv, pa[3:4], pb[3:4], pg[3:4],
+            idv,
+            pa[3:4],
+            pb[3:4],
+            pg[3:4],
             val_rows,
-            jnp.zeros((m_pad - m_sel, l_src), jnp.float32),
+            jnp.zeros((m_pad - m_sel, l_cap), jnp.float32),
         ],
         axis=0,
-    )  # (16 + m_pad, l_src)
-
-    def chunk_block(s):
-        return jax.lax.dynamic_slice(src, (0, s), (16 + m_pad, c))
-
-    blocks = jax.vmap(chunk_block)(csrc)  # (NCH, 16 + m_pad, c)
-    # Kill window-overrun entries (they belong to the NEXT tile's segment
-    # and carry that tile's rebase): e0 constant -> -BIG de-covers them.
-    lane = jnp.arange(c, dtype=jnp.int32)[None, :]
-    in_seg = lane < ccount[:, None]
-    blocks = blocks.at[:, 8, :].set(
-        jnp.where(in_seg, blocks[:, 8, :], _BIG_NEG)
-    )
-
-    planes_flat = (
-        blocks[:, :16]
-        .reshape(nch_total, 4, 4, c)
-        .transpose(1, 0, 2, 3)
-        .reshape(4, nch_total * 4 * c)
-    )
-    sel_flat = (
-        blocks[:, 16:].transpose(1, 0, 2).reshape(m_pad, nch_total * c)
-    )
+    )  # (m_pad, l_cap) chunk-contiguous
 
     return (
         planes_flat,
