@@ -146,3 +146,37 @@ def test_fused_flat_binning_large_mesh(backend):
     np.testing.assert_allclose(
         np.asarray(a.normal)[m], np.asarray(b.normal)[m], atol=2e-3
     )
+
+
+def test_world_corner_transform_matches_clip_gather():
+    """rasterize_gbuffer(pos_world, mvp) — world corners gathered once then
+    MVP-transformed on the MXU — must equal the per-view clip-corner gather
+    it replaces (same contraction at HIGHEST precision)."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    verts, faces = make_grid_mesh(72)  # above the sort_pairs threshold
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=30.0, distance=3.0, fovy_deg=50.0, num_views=3,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    v_nrm = jnp.ones((v_pos.shape[0], 3), jnp.float32)
+    cfg = RasterizerConfig(backend="fused_pallas")
+    a = rasterize_gbuffer(pos_clip, tri, v_nrm, (128, 128), cfg)
+    b = rasterize_gbuffer(
+        pos_clip, tri, v_nrm, (128, 128), cfg,
+        pos_world=v_pos, mvp=cam.mvp_mtx,
+    )
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    # On TPU the two contraction orders are bit-identical (verified on-chip:
+    # max |dz| = 0); CPU einsums reassociate, so allow last-bit clip-coord
+    # noise amplified through the 1/area plane constants.
+    np.testing.assert_allclose(np.asarray(a.z), np.asarray(b.z), atol=5e-4)
+    np.testing.assert_allclose(
+        np.asarray(a.attr), np.asarray(b.attr), atol=1e-3
+    )

@@ -148,7 +148,8 @@ def _render_fused(
 
     v_attr = jnp.concatenate(channels, axis=-1) if channels else None
     out = rasterize_gbuffer(
-        v_pos_clip, mesh.t_pos_idx, v_attr, (height, width), raster_config
+        v_pos_clip, mesh.t_pos_idx, v_attr, (height, width), raster_config,
+        pos_world=mesh.v_pos, mvp=cam.mvp_mtx,
     )
     mask = out.mask
 
