@@ -53,6 +53,7 @@ def check_binning_budgets(pos_clip, tri, resolution, cfg):
         max_tris_per_tile=2 * cfg.max_tris_per_tile,
         bin_flat_cap_factor=2 * cfg.bin_flat_cap_factor,
         bin_huge=2 * cfg.bin_huge,
+        bin_med=2 * cfg.bin_med,
     )
     capped = rasterize_gbuffer(pos_clip, tri, None, resolution, cfg)
     doubled = rasterize_gbuffer(pos_clip, tri, None, resolution, cfg2)
@@ -111,18 +112,24 @@ def _render_views_per_sec(
     mesh, cam, height, width, r_inner, metric, baseline=None, **render_kw
 ):
     """Shared harness: R_inner perturbed renders inside one lax.scan,
-    checksum-forced. Guards the scene against the config's lossy binning
-    budgets first (exact diagnostic, no doubled run)."""
+    checksum-forced. Sizes the binning-tier budgets to the scene first
+    (auto_fast_config: exact span histogram + 2x headroom + lossless
+    validation — unused tiers cost sort time, so a fixed worst-case config
+    would undersell every scene that doesn't need them)."""
     import jax
     import jax.numpy as jnp
 
-    from worldrenderer_tpu.ops.rasterize import binning_stats
+    from worldrenderer_tpu.ops.rasterize import auto_fast_config, binning_stats
     from worldrenderer_tpu.render import render
     from worldrenderer_tpu.transforms import get_clip_space_position
 
     cfg = render_kw.get("raster_config")
     if cfg is not None:
         pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+        cfg = auto_fast_config(
+            pos_clip, mesh.t_pos_idx, (height, width), base=cfg
+        )
+        render_kw["raster_config"] = cfg
         stats = binning_stats(pos_clip, mesh.t_pos_idx, (height, width), cfg)
         assert stats["ok"], f"binning budgets lossy for this scene: {stats}"
 
@@ -182,10 +189,14 @@ def bench_headline():
         elevation_deg=35.0, distance=3.0, fovy_deg=50.0,
         num_views=N_VIEWS, near=0.1, far=10.0,
     )
-    cfg = _fast_cfg()
+    from worldrenderer_tpu.ops.rasterize import auto_fast_config
+
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    cfg = auto_fast_config(
+        pos_clip, mesh.t_pos_idx, (HEIGHT, WIDTH), base=_fast_cfg()
+    )
     # Correctness guard: the G-buffer must be invariant to doubling every
     # lossy binning budget (z AND tri_id compared, not just the mask).
-    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
     diffs = check_binning_budgets(pos_clip, mesh.t_pos_idx, (HEIGHT, WIDTH), cfg)
     assert (
         diffs["mask_diff"] == 0

@@ -538,3 +538,87 @@ def test_binning_stats_diagnostic():
         FAST_TPU_CONFIG._replace(bin_huge=4, max_tris_per_tile=64),
     )
     assert not tiny["ok"]
+
+
+def test_medium_tier_binning_matches_exact():
+    """The 3-tier flat binning (small 2x2 span + medium 8x4 block + huge
+    per-tile enumeration, FAST_TPU_CONFIG) must reproduce the exact
+    unbudgeted rasterization on a near-camera scene whose triangles
+    populate all three tiers."""
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, binning_stats
+    from worldrenderer_tpu.render import render
+
+    verts, faces = make_grid_mesh(
+        72, extent=5.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+    cam = get_camera(
+        elevation_deg=[8.0], distance=[0.5], fovy_deg=[65.0],
+        azimuth_deg=[25.0], near=0.05, far=50.0,
+    )
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    stats = binning_stats(pos_clip, mesh.t_pos_idx, (256, 256), FAST_TPU_CONFIG)
+    # 61 mediums at this resolution; the huge tier is exercised by the
+    # near-plane flythrough tests (512^2: 230 med + 8 huge).
+    assert stats["ok"] and stats["n_med"] > 50, stats
+
+    exact = render(mesh, cam, 256, 256, render_attr=False, render_depth=True,
+                   render_normal=True)
+    fast = render(mesh, cam, 256, 256, render_attr=False, render_depth=True,
+                  render_normal=True, raster_config=FAST_TPU_CONFIG)
+    m = np.asarray(exact.mask)
+    np.testing.assert_array_equal(m, np.asarray(fast.mask))
+    d = np.abs(np.asarray(exact.normal) - np.asarray(fast.normal))[m]
+    # split_bf16 winner flips allow a tiny budget of arbitrary pixels.
+    assert np.percentile(d, 99.5) < 2e-2, np.percentile(d, 99.5)
+
+
+def test_auto_fast_config_sizes_tiers_per_scene():
+    """auto_fast_config: zero-medium scenes get the tier turned OFF (an
+    unused 512-slot block measured -25%); near-camera scenes get exactly
+    enough budget, validated lossless."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import (
+        FAST_TPU_CONFIG, auto_fast_config, binning_stats,
+    )
+
+    verts, faces = make_grid_mesh(
+        72, extent=1.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    tri = jnp.asarray(faces, jnp.int32)
+    far_cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=6,
+        near=0.1, far=10.0,
+    )
+    pc = get_clip_space_position(jnp.asarray(verts, jnp.float32), far_cam.mvp_mtx)
+    cfg = auto_fast_config(pc, tri, (512, 512))
+    assert cfg.bin_med == 0, cfg  # headline scene: no mediums -> tier off
+    assert binning_stats(pc, tri, (512, 512), cfg)["ok"]
+
+    verts2, faces2 = make_grid_mesh(
+        72, extent=5.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    near_cam = get_camera(
+        elevation_deg=[8.0], distance=[0.5], fovy_deg=[65.0],
+        azimuth_deg=[25.0], near=0.05, far=50.0,
+    )
+    pc2 = get_clip_space_position(
+        jnp.asarray(verts2, jnp.float32), near_cam.mvp_mtx
+    )
+    tri2 = jnp.asarray(faces2, jnp.int32)
+    cfg2 = auto_fast_config(pc2, tri2, (512, 512))
+    assert cfg2.bin_med >= 230 * 2 and cfg2.bin_med <= 1024, cfg2
+    assert binning_stats(pc2, tri2, (512, 512), cfg2)["ok"]
+
+    # A scene that overflows the base FAST k_cap budget gets it raised.
+    base_small_k = FAST_TPU_CONFIG._replace(max_tris_per_tile=256)
+    cfg3 = auto_fast_config(pc2, tri2, (512, 512), base=base_small_k)
+    assert cfg3.max_tris_per_tile >= 445
+    assert binning_stats(pc2, tri2, (512, 512), cfg3)["ok"]

@@ -67,6 +67,8 @@ def main():
     l_keys = t_total * span + (
         min(cfg.bin_huge, t_total) * n_tiles if cfg.bin_huge > 0 else 0
     )
+    if cfg.bin_med > 0:
+        l_keys += min(cfg.bin_med, t_total) * cfg.bin_med_span_y * cfg.bin_med_span_x
     if cfg.bin_flat_cap_factor > 0:
         l_keys = min(l_keys, cfg.bin_flat_cap_factor * t_total)
     l_cap = min(l_keys + n_tiles * (c - 1), n_tiles * (-(-k_cap // c) * c))
@@ -95,6 +97,8 @@ def main():
             f = _bin_flat(
                 s, res, res, tile_h, tile_w, cfg.bin_span_tiles_y,
                 cfg.bin_span_tiles_x, cfg.bin_huge, cfg.bin_flat_cap_factor,
+                n_med=cfg.bin_med, med_span_y=cfg.bin_med_span_y,
+                med_span_x=cfg.bin_med_span_x,
             )
             return f[0].sum() + f[2].sum() + f[3].sum()
 
@@ -108,6 +112,8 @@ def main():
             f = _bin_flat(
                 s, res, res, tile_h, tile_w, cfg.bin_span_tiles_y,
                 cfg.bin_span_tiles_x, cfg.bin_huge, cfg.bin_flat_cap_factor,
+                n_med=cfg.bin_med, med_span_y=cfg.bin_med_span_y,
+                med_span_x=cfg.bin_med_span_x,
             )
             pf, sf, sc, nc = _flat_chunks(
                 s, tri, None, f, k_cap, n_tx, tile_w, tile_h, c, l_cap
@@ -125,6 +131,8 @@ def main():
             f = _bin_flat(
                 s, res, res, tile_h, tile_w, cfg.bin_span_tiles_y,
                 cfg.bin_span_tiles_x, cfg.bin_huge, cfg.bin_flat_cap_factor,
+                n_med=cfg.bin_med, med_span_y=cfg.bin_med_span_y,
+                med_span_x=cfg.bin_med_span_x,
             )
             return _flat_chunks(
                 s, tri, None, f, k_cap, n_tx, tile_w, tile_h, c, l_cap

@@ -18,7 +18,12 @@ from .poisson import (
     poisson_blend_cropped,
     poisson_blend_multigrid,
 )
-from .rasterize import RasterizerConfig, rasterize, rasterize_db
+from .rasterize import (
+    RasterizerConfig,
+    auto_fast_config,
+    rasterize,
+    rasterize_db,
+)
 from .tensor import (
     c2w_to_polar,
     chunk_batch,
@@ -37,6 +42,7 @@ from .texture import texture, texture_construct_mip
 __all__ = [
     "RasterizerConfig",
     "rasterize",
+    "auto_fast_config",
     "rasterize_db",
     "rasterize_gbuffer",
     "GBufferOutput",

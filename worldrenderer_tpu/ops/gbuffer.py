@@ -483,6 +483,8 @@ def _gbuffer_single(
             setup, width, height, tile_h, tile_w,
             config.bin_span_tiles_y, config.bin_span_tiles_x, config.bin_huge,
             config.bin_flat_cap_factor,
+            n_med=config.bin_med, med_span_y=config.bin_med_span_y,
+            med_span_x=config.bin_med_span_x,
         )
         coeffs, counts = _gather_tile_rows_flat(
             all_planes, setup.valid, flat, origin, min(max_per_tile, t_total),
@@ -587,6 +589,11 @@ def _gbuffer_dma_batched(
     l_keys = t_total * span + (
         min(config.bin_huge, t_total) * n_tiles if config.bin_huge > 0 else 0
     )
+    if config.bin_med > 0:
+        l_keys += (
+            min(config.bin_med, t_total)
+            * config.bin_med_span_y * config.bin_med_span_x
+        )
     if cap_factor > 0:
         l_keys = min(l_keys, cap_factor * t_total)
     # Upper bound on the sum of c-aligned (capped) segment lengths.
@@ -631,6 +638,8 @@ def _gbuffer_dma_batched(
             setup, width, height, tile_h, tile_w,
             config.bin_span_tiles_y, config.bin_span_tiles_x,
             config.bin_huge, cap_factor,
+            n_med=config.bin_med, med_span_y=config.bin_med_span_y,
+            med_span_x=config.bin_med_span_x,
         )
         return _flat_chunks(
             setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,

@@ -66,7 +66,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "rasterize", "rasterize_db", "RasterizerConfig", "FAST_TPU_CONFIG",
-    "binning_stats",
+    "binning_stats", "auto_fast_config",
 ]
 
 _W_EPS = 1e-8
@@ -93,12 +93,23 @@ class RasterizerConfig(NamedTuple):
     # "argsort" stable-compacts each tile column (simple, cheap for small T).
     bin_mode: str = "sort_pairs"
     # sort_pairs knobs: replica span in TILES per axis (triangles whose bbox
-    # covers more tiles go through the shared huge-triangle list of size
-    # bin_huge, which must exceed the count of such triangles).
+    # covers more tiles go through the medium tier if enabled, else the
+    # shared huge-triangle list of size bin_huge, which must exceed the
+    # count of such triangles).
     bin_span_tiles_y: int = 4
     bin_span_tiles_x: int = 2
     bin_huge: int = 256
     bin_sort_pairs_min_tris: int = 4096
+    # Optional MEDIUM tier (bin_med > 0): up to bin_med triangles whose
+    # bbox exceeds the small span but fits bin_med_span get replicas over
+    # an 8x4-style span block (bin_med * span_slots keys) instead of the
+    # huge tier's one-replica-per-tile enumeration (bin_huge * n_tiles
+    # keys). Lets the small span stay tight (small span keys dominate the
+    # sort) while near-camera scenes with hundreds of mid-size triangles
+    # stay within budget.
+    bin_med: int = 0
+    bin_med_span_y: int = 8
+    bin_med_span_x: int = 4
     # Flat-list length cap as a multiple of T: the sorted pair list is
     # truncated to cap_factor*T entries before the coefficient gather
     # (sentinel padding sorts last, so this only drops real entries when the
@@ -146,10 +157,24 @@ FAST_TPU_CONFIG = RasterizerConfig(
     # to true fp32 for meshes with >= 2^16 triangles)
     # Tighter flat-list/huge budgets than the safe defaults (the aligned
     # coefficient-list capacity scales with these, and its record gather is
-    # a per-row cost): validate per scene with a doubled-budget check
-    # (bench.py doubles all three and compares z + id + mask).
+    # a per-row cost): validate per scene with binning_stats (bench.py
+    # asserts it; camera_projection validates by default).
     bin_flat_cap_factor=2,
     bin_huge=64,
+    # 2x2 replica span: the sorted key list is span_y*span_x keys per
+    # triangle, and halving 4x2 -> 2x2 lifted the headline 769 -> 1023
+    # views/s (tools/tune_fast_config.py; tile_h32/chunk256/capfactor3 all
+    # regressed 10-12%). Triangles taller than 32 px or wider than 256 px
+    # overflow the small span — the MEDIUM tier (8x4-tile span block, up
+    # to 512 triangles = 16k keys) absorbs the hundreds of mid-size
+    # triangles of near-camera scenes far cheaper than widening the small
+    # span (+4T keys) or the huge budget (n_tiles keys each). Truly huge
+    # (>128 px tall / >512 px wide, incl. near-plane-crossing projections)
+    # still go per-overlapped-tile via bin_huge. Per-scene budget
+    # validation (binning_stats) catches overflow of any tier.
+    bin_span_tiles_y=2,
+    bin_span_tiles_x=2,
+    bin_med=512,
 )
 
 
@@ -525,6 +550,9 @@ def _bin_triangles_sort_pairs(
     span_y_max: int,
     span_x_max: int,
     n_huge: int,
+    n_med: int = 0,
+    med_span_y: int = 8,
+    med_span_x: int = 4,
 ) -> jnp.ndarray:
     """Fast binning: ONE sort of (tile, tri) replica pairs instead of a
     per-tile-column stable argsort (the per-column sort was ~16x more
@@ -538,7 +566,8 @@ def _bin_triangles_sort_pairs(
     Returns (n_tiles, K) int32 padded with T."""
     t_total = setup.valid.shape[0] - 1
     flat = _bin_flat(
-        setup, width, height, tile_h, tile_w, span_y_max, span_x_max, n_huge
+        setup, width, height, tile_h, tile_w, span_y_max, span_x_max, n_huge,
+        n_med=n_med, med_span_y=med_span_y, med_span_x=med_span_x,
     )
     s_tri, _, starts, counts = flat
 
@@ -560,6 +589,9 @@ def _bin_flat(
     span_x_max: int,
     n_huge: int,
     flat_cap_factor: int = 0,
+    n_med: int = 0,
+    med_span_y: int = 8,
+    med_span_x: int = 4,
 ):
     """Flat binning core: ONE sort of (tile, tri) replica pairs.
 
@@ -571,13 +603,14 @@ def _bin_flat(
     per-tile blocks with cheap contiguous dynamic slices instead of row
     gathers.
 
-    Triangles whose bbox exceeds the replica span (up to ``n_huge`` of
-    them, lowest ids first; the rest are dropped — callers validate with
-    the exact path) get one replica PER OVERLAPPED TILE sorted into the
-    same stream. This keeps every tile's list exactly its live set —
-    the earlier design prepended a fixed n_huge-slot block (mostly
-    sentinels) to EVERY tile, which tripled the kernel's chunk count on
-    typical scenes."""
+    Three size tiers (budgeted; overflow drops triangles — callers
+    validate with binning_stats): triangles fitting the small span get a
+    static span_y*span_x replica block each (these keys dominate the sort
+    — keep the span tight); up to ``n_med`` bigger ones fitting the medium
+    span get a med_span_y*med_span_x block; up to ``n_huge`` larger still
+    get one replica PER OVERLAPPED TILE. Every tile's list is exactly its
+    live set — an earlier design prepended a fixed huge-slot block to
+    EVERY tile, which tripled the kernel's chunk count."""
     n_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)
     n_tiles = n_ty * n_tx
@@ -597,8 +630,15 @@ def _bin_flat(
     )
     span_x = tx1 - tx0 + 1
     span_y = ty1 - ty0 + 1
-    huge = (span_x > span_x_max) | (span_y > span_y_max)
-    small = on_screen & ~huge
+    big = (span_x > span_x_max) | (span_y > span_y_max)
+    if n_med > 0:
+        fits_med = (span_x <= med_span_x) & (span_y <= med_span_y)
+        medium = big & fits_med
+        huge = big & ~fits_med
+    else:
+        medium = jnp.zeros_like(big)
+        huge = big
+    small = on_screen & ~big
 
     sentinel = jnp.int32(n_tiles) * jnp.int32(t_total)
     tri_idx = jnp.arange(t_total, dtype=jnp.int32)
@@ -606,10 +646,32 @@ def _bin_flat(
     keys = []
     for sy in range(span_y_max):
         for sx in range(span_x_max):
-            tile = (ty0 + sy) * n_tx + (tx0 + sx)
+            # Clamp: masked-out lanes still compute tile * T, and an
+            # off-grid tile index could overflow the int32 key space.
+            tile = jnp.minimum((ty0 + sy) * n_tx + (tx0 + sx), n_tiles)
             valid = small & (sx < span_x) & (sy < span_y)
             keys.append(jnp.where(valid, tile * t_total + tri_idx, sentinel))
     keys = jnp.concatenate(keys)  # (T * span_y_max * span_x_max,)
+
+    gm = min(n_med, t_total) if n_med > 0 else 0
+    if gm > 0:
+        prio_m = jnp.where(medium & on_screen, t_total - tri_idx, 0)
+        mvals, midx = jax.lax.top_k(prio_m, gm)
+        mid = jnp.clip(midx.astype(jnp.int32), 0, t_total - 1)  # (Gm,)
+        mvalid = mvals > 0
+        mty0, mtx0 = ty0[mid], tx0[mid]
+        msy, msx = span_y[mid], span_x[mid]
+        mkeys = []
+        for sy in range(med_span_y):
+            for sx in range(med_span_x):
+                tile = jnp.minimum(
+                    (mty0 + sy) * n_tx + (mtx0 + sx), n_tiles
+                )
+                valid = mvalid & (sy < msy) & (sx < msx)
+                mkeys.append(
+                    jnp.where(valid, tile * t_total + mid, sentinel)
+                )
+        keys = jnp.concatenate([keys] + mkeys)
 
     g = min(n_huge, t_total) if n_huge > 0 else 0
     if g > 0:
@@ -772,6 +834,8 @@ def _bin_dispatch(
         return _bin_triangles_sort_pairs(
             setup, width, height, tile_h, tile_w, max_per_tile,
             config.bin_span_tiles_y, config.bin_span_tiles_x, config.bin_huge,
+            n_med=config.bin_med, med_span_y=config.bin_med_span_y,
+            med_span_x=config.bin_med_span_x,
         )
     ids = _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
     counts = jnp.sum(ids < t_total, axis=1).astype(jnp.int32)
@@ -981,9 +1045,18 @@ def _binning_stats_jit(pos, tri, resolution, config):
         )
         span_x = tx1 - tx0 + 1
         span_y = ty1 - ty0 + 1
-        huge = ((span_x > config.bin_span_tiles_x)
-                | (span_y > config.bin_span_tiles_y)) & on
-        n_huge = jnp.sum(huge)
+        big = ((span_x > config.bin_span_tiles_x)
+               | (span_y > config.bin_span_tiles_y)) & on
+        if config.bin_med > 0:
+            fits_med = (
+                (span_x <= config.bin_med_span_x)
+                & (span_y <= config.bin_med_span_y)
+            )
+            n_med = jnp.sum(big & fits_med)
+            n_huge = jnp.sum(big & ~fits_med)
+        else:
+            n_med = jnp.int32(0)
+            n_huge = jnp.sum(big)
         live = jnp.sum(jnp.where(on, span_x * span_y, 0))
         # Exact per-tile counts via a 2D difference grid + prefix sums:
         # +1 at (ty0, tx0), -1 at (ty0, tx1+1)/(ty1+1, tx0), +1 at
@@ -996,10 +1069,64 @@ def _binning_stats_jit(pos, tri, resolution, config):
         grid = grid.at[ty1 + 1, tx0].add(-one)
         grid = grid.at[ty1 + 1, tx1 + 1].add(one)
         counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:n_ty, :n_tx]
-        return n_huge, live, counts.max()
+        return n_huge, n_med, live, counts.max()
 
-    n_huge, live, max_tile = jax.vmap(per_view)(pos)
-    return n_huge.max(), live.max(), max_tile.max(), jnp.int32(k_cap)
+    n_huge, n_med, live, max_tile = jax.vmap(per_view)(pos)
+    return (
+        n_huge.max(), n_med.max(), live.max(), max_tile.max(),
+        jnp.int32(k_cap),
+    )
+
+
+def auto_fast_config(
+    pos,
+    tri,
+    resolution,
+    base: RasterizerConfig = FAST_TPU_CONFIG,
+    headroom: float = 2.0,
+) -> RasterizerConfig:
+    """Scene-adaptive binning budgets for the fast path.
+
+    The fast config's tier budgets are a speed/robustness trade-off: every
+    key block costs sort time whether used or not (an always-on 512-slot
+    medium tier measured -25% on a scene with zero mediums). This measures
+    THIS scene's span distribution with the exact, cheap
+    :func:`binning_stats` histogram and sizes each tier to its actual need
+    times ``headroom`` (rounded up to a power of two, so nearby scenes
+    share jit caches), then validates the result is lossless.
+
+    pos (B, V, 4) clip positions for the cameras that will be rendered.
+    Returns a config safe for this scene; raises if validation fails
+    (cannot happen unless headroom < 1).
+    """
+    probe = base._replace(bin_med=max(base.bin_med, 1))
+    stats = binning_stats(pos, tri, resolution, probe)
+
+    def pow2_at_least(n, lo):
+        v = lo
+        while v < n:
+            v *= 2
+        return v
+
+    n_med = stats["n_med"]
+    n_huge = stats["n_huge"]
+    med = 0 if n_med == 0 else pow2_at_least(int(headroom * n_med), 64)
+    huge = pow2_at_least(int(headroom * n_huge) + 8, 16)
+    k_cap = base.max_tris_per_tile
+    if k_cap is not None and stats["max_per_tile"] > k_cap:
+        k_cap = pow2_at_least(int(headroom * stats["max_per_tile"]), k_cap)
+    cap_factor = base.bin_flat_cap_factor
+    t_total = int(tri.shape[0])
+    if cap_factor > 0 and stats["live_entries"] > cap_factor * t_total:
+        cap_factor = -(-int(headroom * stats["live_entries"]) // t_total)
+    cfg = base._replace(
+        bin_med=med, bin_huge=huge, max_tris_per_tile=k_cap,
+        bin_flat_cap_factor=cap_factor,
+    )
+    final = binning_stats(pos, tri, resolution, cfg)
+    if not final["ok"]:
+        raise ValueError(f"auto_fast_config failed to validate: {final}")
+    return cfg
 
 
 def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
@@ -1010,7 +1137,7 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
     Returns a dict with the worst-case-over-views numbers and their
     configured capacities; ``ok`` is True iff every budget holds, i.e. the
     flat binning is guaranteed lossless for this scene/config."""
-    n_huge, live, max_tile, k_cap = _binning_stats_jit(
+    n_huge, n_med, live, max_tile, k_cap = _binning_stats_jit(
         jnp.asarray(pos, jnp.float32), jnp.asarray(tri, jnp.int32),
         tuple(resolution), config,
     )
@@ -1022,6 +1149,8 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
     stats = {
         "n_huge": int(n_huge),
         "huge_budget": int(config.bin_huge),
+        "n_med": int(n_med),
+        "med_budget": int(config.bin_med),
         "live_entries": int(live),
         "flat_cap": int(min(flat_cap, 2**62)),
         "max_per_tile": int(max_tile),
@@ -1029,6 +1158,7 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
     }
     stats["ok"] = (
         stats["n_huge"] <= stats["huge_budget"]
+        and stats["n_med"] <= stats["med_budget"]
         and stats["live_entries"] <= stats["flat_cap"]
         and stats["max_per_tile"] <= stats["k_cap"]
     )
