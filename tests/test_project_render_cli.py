@@ -18,7 +18,8 @@ N_FRAMES = 4
 
 
 @pytest.mark.slow
-def test_project_and_render_end_to_end(tmp_path):
+@pytest.mark.parametrize("raster", ["exact", "fast"])
+def test_project_and_render_end_to_end(tmp_path, raster):
     cv2 = pytest.importorskip("cv2")
 
     # Scene: textured sphere GLB.
@@ -68,6 +69,7 @@ def test_project_and_render_end_to_end(tmp_path):
         camera_json=cam_json,
         uv_unwarp=False,  # GLB already has UVs
         debug=True,
+        raster=raster,
     )
 
     assert (out_dir / "rgb" / "rgb_00000.png").exists()

@@ -66,7 +66,12 @@ def project_and_render(
     keyframe_t_position: float = 0.20,
     keyframe_t_rotation: float = 0.5,
     debug: bool = False,
+    raster: str = "exact",
 ) -> None:
+    """``raster='fast'`` auto-tunes the lossy fast-path binning budgets to
+    this scene's cameras (ops.rasterize.auto_fast_config: exact span
+    histogram + headroom + lossless validation) before rendering; 'exact'
+    keeps the default always-exact configuration."""
     mesh_path = Path(mesh_path)
     output_dir = Path(output_dir)
     if output_dir.exists():
@@ -191,6 +196,18 @@ def project_and_render(
     out_h = height or video_h
     out_w = width or video_w
 
+    from ..ops.rasterize import DEFAULT_CONFIG
+
+    raster_config = DEFAULT_CONFIG
+    if raster == "fast":
+        from ..ops.rasterize import FAST_TPU_CONFIG, auto_fast_config
+        from ..transforms import get_clip_space_position
+
+        pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+        raster_config = auto_fast_config(
+            pos_clip, mesh.t_pos_idx, (out_h, out_w), base=FAST_TPU_CONFIG
+        )
+
     def render_batch(c2w, w2c, proj_mtx, mvp_mtx, cam_pos):
         batch_cam = Camera(c2w, w2c, proj_mtx, mvp_mtx, cam_pos)
         out = render(
@@ -203,6 +220,7 @@ def project_and_render(
             render_normal=True,
             depth_normalization_strategy=depth_norm,
             attr_background=0.0,
+            raster_config=raster_config,
         )
         rgb = out.attr
         geo_mask = out.mask
@@ -254,6 +272,10 @@ def parse_args(argv=None):
         help="project only from auto-selected trajectory keyframes "
         "(reference pipeline_opt behavior)",
     )
+    parser.add_argument(
+        "--raster", choices=["exact", "fast"], default="exact",
+        help="fast = auto-tuned lossy-budget fused kernels (validated lossless for this scene)",
+    )
     parser.add_argument("--keyframe-t-position", type=float, default=0.20)
     parser.add_argument("--keyframe-t-rotation", type=float, default=0.5)
     return parser.parse_args(argv)
@@ -279,6 +301,7 @@ def main(argv=None):
         keyframe_t_position=args.keyframe_t_position,
         keyframe_t_rotation=args.keyframe_t_rotation,
         debug=args.debug,
+        raster=args.raster,
     )
 
 
