@@ -180,3 +180,37 @@ def test_world_corner_transform_matches_clip_gather():
     np.testing.assert_allclose(
         np.asarray(a.attr), np.asarray(b.attr), atol=1e-3
     )
+
+
+@pytest.mark.slow
+def test_split_bf16_exact_ids_beyond_2_16():
+    """The DMA kernel's hi/lo id rows keep split_bf16 ids exact past the
+    old 2^16 fallback threshold (70k-tri mesh: ids up to ~70000)."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    verts, faces = make_grid_mesh(188)  # 69938 tris > 2^16
+    assert faces.shape[0] > 2**16
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=40.0, distance=3.0, fovy_deg=50.0, num_views=1,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    cfg = FAST_TPU_CONFIG._replace(max_tris_per_tile=None, bin_med=0)
+    fast = rasterize_gbuffer(pos_clip, tri, None, (128, 128), cfg)
+    exact = rasterize_gbuffer(
+        pos_clip, tri, None, (128, 128),
+        cfg._replace(dot_precision="highest"),
+    )
+    np.testing.assert_array_equal(np.asarray(fast.mask), np.asarray(exact.mask))
+    idf, ide = np.asarray(fast.tri_id), np.asarray(exact.tri_id)
+    # High ids (> 2^16) must round-trip exactly through the bf16 select.
+    assert ide.max() > 2**16
+    mism = (idf != ide).mean()
+    assert mism < 5e-3, mism  # split_bf16 z-ordering flips only
+    big = ide > 2**16
+    assert (idf[big] == ide[big]).mean() > 0.995

@@ -262,27 +262,32 @@ def _flat_chunks(
     live2d = lane < ccount[:, None]
     flat_ids = jnp.where(live2d, ids2d, t_total).reshape(l_cap)
 
-    # ONE fused record gather per entry: 4 geometry planes, the triangle id,
-    # the attribute planes, validity. Everything before and after the
-    # gather keeps the triangle/entry count on the LANE dim — per-entry
+    # ONE fused record gather per entry: 4 geometry planes, the triangle id
+    # (split hi/lo: each byte-range row reconstructs EXACTLY through the
+    # two-pass bf16 select matmul, so split_bf16 keeps exact ids up to
+    # T = 2^24 instead of falling back to the 3x-costlier fp32 passes at
+    # 2^16), the attribute planes, validity. Everything before and after
+    # the gather keeps the triangle/entry count on the LANE dim — per-entry
     # layouts like (l_cap, 4, 3) tile their (4, 3) minor dims to (8, 128)
     # on TPU, a ~85x VMEM/HBM blowup.
+    ids_f = jnp.arange(t_total + 1, dtype=jnp.int32)
     record_t = jnp.concatenate(
         [
             setup.planes12,
-            jnp.arange(t_total + 1, dtype=jnp.float32)[None],
+            (ids_f // 256).astype(jnp.float32)[None],
+            (ids_f % 256).astype(jnp.float32)[None],
             attr_rows,
             setup.valid[None].astype(jnp.float32),
         ],
         axis=0,
-    )  # (14 + 3nv, T+1)
+    )  # (15 + 3nv, T+1)
     rec_t = record_t.T[flat_ids].T  # gather rows, one small + one big transpose
     p12 = rec_t[:12].reshape(4, 3, l_cap)
     pa = p12[:, 0]  # (4, l_cap) alpha of e0, e1, e2, z
     pb = p12[:, 1]
     pgm = p12[:, 2]
-    idv = rec_t[12:13]  # (1, l_cap)
-    ap3 = rec_t[13 : 13 + 3 * nv].reshape(nv, 3, l_cap)
+    idv = rec_t[12:14]  # (2, l_cap) id hi/lo
+    ap3 = rec_t[14 : 14 + 3 * nv].reshape(nv, 3, l_cap)
     validv = rec_t[-1] > 0.5  # (l_cap,)
 
     ox = jnp.broadcast_to(
@@ -308,7 +313,7 @@ def _flat_chunks(
         .reshape(4, nch_total * 4 * c)
     )
 
-    m_sel = 4 + 3 * nv
+    m_sel = 5 + 3 * nv
     m_pad = -(-m_sel // 8) * 8
     val_rows = jnp.stack([ap3[:, 0], ap3[:, 1], ag], axis=1).reshape(
         3 * nv, l_cap
@@ -649,8 +654,8 @@ def _gbuffer_dma_batched(
     planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos, v_all)
 
     prec = config.dot_precision
-    if prec == "split_bf16" and t_total >= 2**16:
-        prec = "highest"  # id exactness limit of the 2-pass bf16 select
+    if prec == "split_bf16" and t_total >= 2**24:
+        prec = "highest"  # hi/lo id rows are exact below 2^24
     z, idm, vals = gbuffer_tiles_dma(
         planes_flat, sel_flat, start_chunks, n_chunks,
         nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],

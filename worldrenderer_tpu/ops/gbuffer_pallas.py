@@ -516,14 +516,18 @@ def _kernel_dma(
 
         upd = zmin < zbuf
         zbuf = jnp.where(upd, zmin, zbuf)
-        idbuf = jnp.where(upd, sel[0:1], idbuf)
-        selbuf = jnp.where(upd, sel[1:m_sel], selbuf)
+        # id rides as hi/lo byte rows: each is < 2^16 so the two-pass bf16
+        # select reconstructs it exactly for any T < 2^24 (a single id row
+        # capped exactness at 2^16 and forced a 3x-costlier fp32 fallback
+        # for large meshes).
+        idbuf = jnp.where(upd, sel[0:1] * 256.0 + sel[1:2], idbuf)
+        selbuf = jnp.where(upd, sel[2:m_sel], selbuf)
         return zbuf, idbuf, selbuf
 
     init = (
         jnp.full((1, p), _BIG_Z, jnp.float32),
         jnp.full((1, p), jnp.float32(_BIG_SLOT), jnp.float32),
-        jnp.zeros((m_sel - 1, p), jnp.float32),
+        jnp.zeros((m_sel - 2, p), jnp.float32),
     )
     zbuf, idbuf, selbuf = jax.lax.fori_loop(0, nch, body, init)
 
@@ -560,7 +564,7 @@ def gbuffer_tiles_dma(
     expansion in HBM at all). Outputs are written directly in image layout:
     (B, H, W) z and id, (B, n_vals, H, W) raw attribute values."""
     bsz, n_tiles = start_chunks.shape
-    m_sel = 4 + 3 * n_vals
+    m_sel = 5 + 3 * n_vals
     m_pad = -(-m_sel // 8) * 8
     assert sel_flat.shape[1] == m_pad, (sel_flat.shape, m_pad)
     ph, pw = n_ty * tile_h, n_tx * tile_w
