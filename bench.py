@@ -360,15 +360,6 @@ def bench_config5():
         raster_config=_fast_cfg(),
     )
 
-    @jax.jit
-    def step(mesh, cam, seed):
-        out = render_fn(mesh, cam._replace(mvp_mtx=cam.mvp_mtx + seed * 1e-6))
-        return (
-            jnp.sum(jnp.abs(out.normal))
-            + jnp.sum(jnp.abs(out.depth))
-            + jnp.sum(out.mask)
-        )
-
     meshes = []
     cams = []
     for m in range(n_meshes):
@@ -390,24 +381,39 @@ def bench_config5():
             near=0.1, far=10.0,
         ))
 
-    # Warmup (one compile covers all meshes: identical shapes).
-    float(step(meshes[0], cams[0], jnp.float32(0)))
-    tiny = jax.jit(lambda x: x + 1.0)
-    float(tiny(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for i in range(5):
-        float(tiny(jnp.float32(i)))
-    floor = (time.perf_counter() - t0) / 5
+    # Identical shapes -> stack meshes/cameras and sweep INSIDE one jit
+    # (lax.scan over the dataset axis). One dispatch per timed call; the
+    # earlier per-mesh Python loop paid a tunnel roundtrip per mesh and
+    # its measurements swung ~4x with tunnel latency.
+    v_pos_all = jnp.stack([m.v_pos for m in meshes])  # (M, V, 3)
+    tri = meshes[0].t_pos_idx  # identical topology across the sweep
+    cam_all = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *cams
+    )  # each leaf (M, ...)
 
-    t0 = time.perf_counter()
-    acc = 0.0
-    for m in range(n_meshes):
-        acc += float(step(meshes[m], cams[m], jnp.float32(m + 1)))
-    dt = time.perf_counter() - t0 - floor * n_meshes
-    assert np.isfinite(acc)
+    @jax.jit
+    def sweep(v_pos_all, cam_all, seed):
+        def body(acc, inputs):
+            v_pos, cam_leaves = inputs
+            mesh = TexturedMesh(v_pos=v_pos, t_pos_idx=tri)
+            out = render_fn(
+                mesh,
+                cam_leaves._replace(mvp_mtx=cam_leaves.mvp_mtx + seed * 1e-6),
+            )
+            return (
+                acc
+                + jnp.sum(jnp.abs(out.normal))
+                + jnp.sum(jnp.abs(out.depth))
+                + jnp.sum(out.mask)
+            ), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), (v_pos_all, cam_all))
+        return acc
+
+    sec = _time_scanned(sweep, v_pos_all, cam_all)
     _emit(
         "c5_sweep_views_per_sec_per_chip_12pose_512",
-        n_meshes * n_poses / max(dt, 1e-9),
+        n_meshes * n_poses / sec,
         "views/s/chip",
     )
 
