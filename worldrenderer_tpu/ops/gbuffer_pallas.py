@@ -46,24 +46,23 @@ def _kernel(nchunks_ref, coeffs_ref, z_out, id_out, v_out, *, k, c, n_vals,
         # (vs r small dots). r*c is a multiple of 128 (c = 128m).
         a_t = coeffs_ref[0, :, pl.ds(pl.multiple_of(ci * (r * c), 128), r * c)]
         if dot_precision == "split_bf16":
-            # Two bf16 passes reconstruct near-fp32: the B matrix entries are
-            # half-integer pixel coords < 256, which bf16 represents EXACTLY,
-            # so splitting only the coefficients (hi + lo) suffices:
+            # bf16 hi/lo split reconstructs near-fp32: the B matrix entries
+            # are half-integer pixel coords < 256, which bf16 represents
+            # EXACTLY, so splitting only the coefficients suffices:
             #   a @ B = hi @ B + lo @ B   (fp32 accumulation on the MXU).
-            # ~3x cheaper than the 6-pass fp32 path. Requires triangle ids
+            # The hi/lo passes are MERGED into one depth-6 contraction
+            # against [B; B] — the MXU pads any contraction below 128 to a
+            # full pass, so separate dots paid twice. Requires triangle ids
             # < 2^16 for exact id-plane reconstruction (gated by caller).
             a_hi = a_t.astype(jnp.bfloat16)
             a_lo = (a_t - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             b_bf = b_mat.astype(jnp.bfloat16)
-
-            def bf_dot(x):
-                return jax.lax.dot_general(
-                    x, b_bf,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            e_all = bf_dot(a_hi) + bf_dot(a_lo)  # (r*c, P)
+            e_all = jax.lax.dot_general(
+                jnp.concatenate([a_hi, a_lo], axis=0),
+                jnp.concatenate([b_bf, b_bf], axis=0),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (r*c, P)
         else:
             e_all = jax.lax.dot_general(
                 a_t, b_mat,
@@ -457,18 +456,20 @@ def _kernel_dma(
 
         a_t = pbuf[slot]  # (4, 4c); zero 4th coef row pairs with b_mat row 3
         if dot_precision == "split_bf16":
+            # hi/lo passes MERGED into one depth-8 contraction against
+            # [B; B]: the MXU pads any contraction below 128 to one full
+            # pass, so two separate depth-4 dots paid 2x for nothing.
+            # fp32 accumulation of the same 8 partial products — same
+            # reconstruction, half the coverage-eval MXU work.
             a_hi = a_t.astype(jnp.bfloat16)
             a_lo = (a_t - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             b_bf = b_mat.astype(jnp.bfloat16)
-
-            def bf_dot(x):
-                return jax.lax.dot_general(
-                    x, b_bf,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-
-            e_all = bf_dot(a_hi) + bf_dot(a_lo)  # (4c, P)
+            e_all = jax.lax.dot_general(
+                jnp.concatenate([a_hi, a_lo], axis=0),
+                jnp.concatenate([b_bf, b_bf], axis=0),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (4c, P)
         else:
             e_all = jax.lax.dot_general(
                 a_t, b_mat,
