@@ -44,8 +44,10 @@ _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
-    # Manual two-pass bf16 split (Pallas kernel only; ~3x cheaper than the
-    # fp32 path, near-fp32 accurate; needs T < 2^16 for exact id planes).
+    # Manual bf16 hi/lo split, merged into one MXU contraction (Pallas
+    # kernels only; ~3x cheaper than fp32, near-fp32 accurate). The DMA
+    # kernel keeps exact ids to T < 2^24 (hi/lo id rows); the v1 kernel's
+    # constant id plane caps at 2^16 (both gated by their callers).
     "split_bf16": "split_bf16",
 }
 

@@ -153,8 +153,9 @@ def _resolve_backend(backend: str, fused: bool) -> str:
 # (validate with a doubled-K coverage check, see bench.py).
 FAST_TPU_CONFIG = RasterizerConfig(
     tile_h=16, max_tris_per_tile=1536, backend="fused_pallas", chunk=128,
-    dot_precision="split_bf16",  # 2-pass bf16, near-fp32 (auto-falls back
-    # to true fp32 for meshes with >= 2^16 triangles)
+    dot_precision="split_bf16",  # merged hi/lo bf16, near-fp32 (the DMA
+    # kernel keeps exact ids to 2^24 triangles; beyond that it falls
+    # back to true fp32)
     # Tighter flat-list/huge budgets than the safe defaults (the aligned
     # coefficient-list capacity scales with these, and its record gather is
     # a per-row cost): validate per scene with binning_stats (bench.py
