@@ -2,6 +2,7 @@
 keyframes, frame IO."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -211,3 +212,49 @@ def test_load_ply_ascii_and_binary(tmp_path):
 
     mesh = load_mesh(str(pa), default_uv_size=64)
     assert mesh.v_pos.shape == (4, 3) and mesh.v_tex is not None
+
+
+REFERENCE_CAMERA_JSON = Path("/root/reference/mvadapter/test/camera_path.json")
+
+
+@pytest.mark.skipif(
+    not REFERENCE_CAMERA_JSON.exists(), reason="reference fixture unavailable"
+)
+def test_load_reference_camera_fixture():
+    """Parity against the reference's ACTUAL committed camera trajectory
+    (mvadapter/test/camera_path.json, 100 Blender-exported frames): our
+    loader must parse it, produce orthonormal rotations and well-formed
+    MVPs, and keyframe extraction must run on the real data."""
+    from worldrenderer_tpu.scene.camera_json import load_camera_from_json
+    from worldrenderer_tpu.scene.keyframe import extract_keyframes
+
+    cam, near, far = load_camera_from_json(
+        REFERENCE_CAMERA_JSON, height=480, width=720
+    )
+    n = cam.c2w.shape[0]
+    assert n == 100
+    assert 0 < near < far
+    rot = np.asarray(cam.c2w)[:, :3, :3]
+    # Blender matrices carry scale; R^T R must be a scaled identity.
+    rtr = np.einsum("nij,nik->njk", rot, rot)
+    scale = rtr[:, 0, 0][:, None, None]
+    np.testing.assert_allclose(
+        rtr / scale, np.broadcast_to(np.eye(3), rtr.shape), atol=1e-4
+    )
+    # w2c really inverts c2w.
+    ident = np.einsum("nij,njk->nik", np.asarray(cam.w2c), np.asarray(cam.c2w))
+    np.testing.assert_allclose(
+        ident, np.broadcast_to(np.eye(4), ident.shape), atol=1e-4
+    )
+    # MVP is finite and the frustum has the exported ~60 deg fov.
+    assert np.isfinite(np.asarray(cam.mvp_mtx)).all()
+    f = np.asarray(cam.proj_mtx)[0, 1, 1]
+    fov = 2 * np.degrees(np.arctan(1.0 / abs(f)))
+    assert abs(fov - 60.0) < 1.0, fov
+
+    from worldrenderer_tpu.scene.keyframe import get_keyframes
+
+    keys = get_keyframes(
+        REFERENCE_CAMERA_JSON, num_views=100, t_position=0.2, t_rotation=0.5
+    )
+    assert 1 <= len(keys) <= 100 and keys[0] == 0

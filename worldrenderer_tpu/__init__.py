@@ -13,6 +13,7 @@ from .camera import (
     get_orthogonal_projection_matrix,
     get_projection_matrix,
     normalize,
+    affine_inverse,
     rigid_inverse,
 )
 from .mesh import (
@@ -42,6 +43,7 @@ __all__ = [
     "get_projection_matrix",
     "get_orthogonal_projection_matrix",
     "normalize",
+    "affine_inverse",
     "rigid_inverse",
     "TexturedMesh",
     "compute_vertex_normals",

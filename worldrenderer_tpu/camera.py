@@ -178,8 +178,10 @@ Camera._replace = _camera_replace
 def rigid_inverse(mat: jnp.ndarray) -> jnp.ndarray:
     """Analytic inverse of a batch of rigid 4x4 transforms (R^T, -R^T t).
 
-    Replaces the reference's torch.linalg.inv (camera.py:180) — exact for
-    orthonormal rotation blocks and far cheaper under jit on TPU.
+    Exact ONLY for orthonormal rotation blocks — our own orbit cameras.
+    External camera matrices (e.g. Blender exports, whose parenting bakes
+    a uniform scale into matrix_world — the reference's committed
+    camera_path.json carries 0.6) need :func:`affine_inverse`.
     """
     rot = mat[..., :3, :3]
     t = mat[..., :3, 3]
@@ -189,6 +191,48 @@ def rigid_inverse(mat: jnp.ndarray) -> jnp.ndarray:
     inv = jnp.concatenate([rot_t, t_inv[..., None]], axis=-1)
     bottom = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 0.0, 1.0], mat.dtype), inv.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([inv, bottom], axis=-2)
+
+
+def affine_inverse(mat: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched affine 4x4 transforms [A | t; 0 1]
+    via the 3x3 cofactor adjugate — exact for scaled / sheared camera
+    matrices, jit-friendly (no LU), and equivalent to the reference's
+    torch.linalg.inv(c2w) (camera.py:180) on the matrices cameras produce.
+    """
+    a = mat[..., :3, :3].astype(jnp.float32)
+    t = mat[..., :3, 3].astype(jnp.float32)
+
+    def m(i, j):
+        return a[..., i, j]
+
+    c00 = m(1, 1) * m(2, 2) - m(1, 2) * m(2, 1)
+    c01 = m(1, 2) * m(2, 0) - m(1, 0) * m(2, 2)
+    c02 = m(1, 0) * m(2, 1) - m(1, 1) * m(2, 0)
+    det = m(0, 0) * c00 + m(0, 1) * c01 + m(0, 2) * c02
+    det = jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([c00,
+                       m(0, 2) * m(2, 1) - m(0, 1) * m(2, 2),
+                       m(0, 1) * m(1, 2) - m(0, 2) * m(1, 1)], axis=-1),
+            jnp.stack([c01,
+                       m(0, 0) * m(2, 2) - m(0, 2) * m(2, 0),
+                       m(0, 2) * m(1, 0) - m(0, 0) * m(1, 2)], axis=-1),
+            jnp.stack([c02,
+                       m(0, 1) * m(2, 0) - m(0, 0) * m(2, 1),
+                       m(0, 0) * m(1, 1) - m(0, 1) * m(1, 0)], axis=-1),
+        ],
+        axis=-2,
+    )
+    inv3 = adj / det[..., None, None]
+    t_inv = -jnp.einsum("...ij,...j->...i", inv3, t,
+                        precision=jax.lax.Precision.HIGHEST)
+    inv = jnp.concatenate([inv3, t_inv[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        inv.shape[:-2] + (1, 4),
     )
     return jnp.concatenate([inv, bottom], axis=-2)
 
@@ -229,7 +273,11 @@ def get_camera(
             )
             c2w = c2w.at[:, :3, 3].add(noise)
         cam_pos = c2w[:, :3, 3]
-        w2c = rigid_inverse(c2w)
+        # affine_inverse, not rigid_inverse: externally supplied c2w (e.g.
+        # Blender matrix_world) may carry scale — the transpose-inverse
+        # silently produced a wrong w2c/mvp for the reference's own
+        # camera_path.json fixture (uniform 0.6 scale).
+        w2c = affine_inverse(c2w)
     else:
         w2c = _as_f32(w2c)
         cam_pos = None
