@@ -12,6 +12,7 @@ position+normal G-buffers of a ~10k-triangle mesh (BASELINE.md north-star:
     python bench.py config4    # 10k tris + UV texture + materials at 1024^2
     python bench.py config5    # dataset sweep: meshes x 12 poses, views/s/chip
     python bench.py projection # camera_projection e2e at uv_size 2048
+    python bench.py projection_full # + Poisson(1000) + uv padding (ref default)
     python bench.py all        # every config, one JSON line each
 
 Methodology notes (important on tunneled/remote TPU backends):
@@ -462,6 +463,55 @@ def bench_projection():
     )
 
 
+def bench_projection_full():
+    """camera_projection with the reference's DEFAULT extras: 1000-sweep
+    Jacobi Poisson seam blending + UV gutter padding (reference
+    projection.py:77, uv.py:373-450) at uv_size 2048."""
+    import jax
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking import (
+        uv_blend, uv_precompute, uv_render_attr, uv_render_geometry,
+    )
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+    from worldrenderer_tpu.render import render
+
+    uv_size = 2048
+    n_views, res = 6, 512
+    verts, faces, uv = uv_sphere_mesh(65, 129)
+    tex = np.full((uv_size, uv_size, 3), 0.25, np.float32)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=20.0, distance=2.7, fovy_deg=40.0, num_views=n_views,
+        near=0.1, far=10.0,
+    )
+    views = render(mesh, cam, res, res, render_attr=True).attr
+
+    @jax.jit
+    def project(mesh, cam, views, seed):
+        pre = uv_precompute(mesh, uv_size, uv_size)
+        geo = uv_render_geometry(mesh, cam, res, res, pre)
+        attr = uv_render_attr(views + seed * 1e-9, geo)
+        out = uv_blend(
+            pre, geo, attr,
+            do_uv_padding=True, poisson_blending=True, pb_num_iters=1000,
+        ).uv_attr_blend
+        return jnp.sum(jnp.abs(out))
+
+    sec = _time_scanned(project, mesh, cam, views)
+    _emit(
+        f"projection_full_poisson1000_pad_sec_uv{uv_size}_{n_views}view_{res}",
+        sec, "s",
+    )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "headline"
     benches = {
@@ -472,6 +522,7 @@ def main():
         "config4": bench_config4,
         "config5": bench_config5,
         "projection": bench_projection,
+        "projection_full": bench_projection_full,
     }
     if which == "all":
         for fn in benches.values():
