@@ -482,6 +482,9 @@ def _kernel_dma(
         e1 = e_all[c : 2 * c]
         e2 = e_all[2 * c : 3 * c]
         z = e_all[3 * c : 4 * c]
+        # (A min-tree + abs "folded" coverage was measured ~5-8% SLOWER than
+        # this compare-and chain on v5e — Mosaic fuses predicate chains
+        # into mask registers better than value mins.)
         cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z >= -1.0) & (z <= 1.0)
         zc = jnp.where(cov, z, _BIG_Z)
         zmin = jnp.min(zc, axis=0, keepdims=True)  # (1, P)
