@@ -64,7 +64,9 @@ def texture_construct_mip(
     equivalent; reference render.py:83-120 documents the contract). The base
     level is NOT included. Levels are 2x2 box-filtered averages; the chain
     stops when either dimension turns odd (or at max_mip_level)."""
-    tex = jnp.asarray(tex, jnp.float32)
+    tex = jnp.asarray(tex)
+    if tex.dtype != jnp.bfloat16:
+        tex = tex.astype(jnp.float32)
     levels = []
     t = tex
     th, tw = t.shape[1], t.shape[2]
@@ -105,9 +107,16 @@ def texture(
         'linear-mipmap-linear' ('auto' = 'linear-mipmap-linear' when uv_da
         or mip_level_bias is given, else 'linear'; nvdiffrast semantics).
 
-    Returns (B, H, W, C).
+    Returns (B, H, W, C) float32.
+
+    dtype: a bfloat16 ``tex`` keeps the quad table in bf16 — gathers are
+    ~1.3x faster on v5e (half the bytes per latency-bound row) at bf16
+    texel precision; weights and the lerp still run in float32. Any other
+    dtype is promoted to float32.
     """
-    tex = jnp.asarray(tex, jnp.float32)
+    tex = jnp.asarray(tex)
+    if tex.dtype != jnp.bfloat16:
+        tex = tex.astype(jnp.float32)
     uv = jnp.asarray(uv, jnp.float32)
     if filter_mode == "auto":
         filter_mode = (
@@ -138,7 +147,7 @@ def texture(
         iyc = _boundary(iy, th, boundary_mode)
 
         def sample(tex_b, ix_b, iy_b, in_b):
-            out = tex_b[iy_b, ix_b]
+            out = tex_b[iy_b, ix_b].astype(jnp.float32)
             if boundary_mode == "zero":
                 out = jnp.where(in_b[..., None], out, 0.0)
             return out
@@ -170,7 +179,7 @@ def texture(
 
     taps = jax.vmap(sample_quad, in_axes=(None if shared else 0, 0))(
         quad[0] if shared else quad, flat
-    )
+    ).astype(jnp.float32)
     t00 = taps[..., 0 * c_ch : 1 * c_ch]
     t01 = taps[..., 1 * c_ch : 2 * c_ch]
     t10 = taps[..., 2 * c_ch : 3 * c_ch]
@@ -275,7 +284,7 @@ def _texture_mip(
 
         taps = jax.vmap(g, in_axes=(None if shared else 0, 0))(
             packed[0] if shared else packed, flat
-        )
+        ).astype(jnp.float32)
         w00 = (1.0 - fx) * (1.0 - fy)
         w01 = fx * (1.0 - fy)
         w10 = (1.0 - fx) * fy
