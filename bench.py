@@ -448,11 +448,12 @@ def bench_projection():
         near=0.1, far=10.0,
     )
     views = render(mesh, cam, res, res, render_attr=True).attr
+    cfg = _projection_auto_cfg(mesh, cam, res, uv_size)
 
     @jax.jit
     def project(mesh, cam, views, seed):
-        pre = uv_precompute(mesh, uv_size, uv_size)
-        geo = uv_render_geometry(mesh, cam, res, res, pre)
+        pre = uv_precompute(mesh, uv_size, uv_size, raster_config=cfg)
+        geo = uv_render_geometry(mesh, cam, res, res, pre, raster_config=cfg)
         attr = uv_render_attr(views + seed * 1e-9, geo)
         out = uv_blend(pre, geo, attr, do_uv_padding=False).uv_attr_blend
         return jnp.sum(jnp.abs(out))
@@ -460,6 +461,28 @@ def bench_projection():
     sec = _time_scanned(project, mesh, cam, views)
     _emit(
         f"projection_e2e_sec_uv{uv_size}_{n_views}view_{res}", sec, "s",
+    )
+
+
+def _projection_auto_cfg(mesh, cam, res, uv_size):
+    """One config sized for BOTH of camera_projection's rasterizations:
+    the UV-atlas pass (T_tex triangles at uv_size^2 — where DEFAULT's
+    huge tier alone costs bin_huge * n_tiles sort keys) and the view
+    renders. Validated lossless for both."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu.ops.rasterize import auto_fast_config
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    uv_clip = mesh.v_tex * 2.0 - 1.0
+    uv_clip4 = jnp.concatenate(
+        [uv_clip, jnp.zeros_like(uv_clip[..., :1]),
+         jnp.ones_like(uv_clip[..., :1])], axis=-1,
+    )[None]
+    return auto_fast_config(
+        uv_clip4, mesh.t_tex_idx, (uv_size, uv_size), base=_fast_cfg(),
+        extra_probes=[(pos_clip, mesh.t_pos_idx, (res, res))],
     )
 
 
@@ -493,11 +516,12 @@ def bench_projection_full():
         near=0.1, far=10.0,
     )
     views = render(mesh, cam, res, res, render_attr=True).attr
+    cfg = _projection_auto_cfg(mesh, cam, res, uv_size)
 
     @jax.jit
     def project(mesh, cam, views, seed):
-        pre = uv_precompute(mesh, uv_size, uv_size)
-        geo = uv_render_geometry(mesh, cam, res, res, pre)
+        pre = uv_precompute(mesh, uv_size, uv_size, raster_config=cfg)
+        geo = uv_render_geometry(mesh, cam, res, res, pre, raster_config=cfg)
         attr = uv_render_attr(views + seed * 1e-9, geo)
         out = uv_blend(
             pre, geo, attr,

@@ -1085,6 +1085,7 @@ def auto_fast_config(
     resolution,
     base: RasterizerConfig = FAST_TPU_CONFIG,
     headroom: float = 2.0,
+    extra_probes=(),
 ) -> RasterizerConfig:
     """Scene-adaptive binning budgets for the fast path.
 
@@ -1100,8 +1101,17 @@ def auto_fast_config(
     Returns a config safe for this scene; raises if validation fails
     (cannot happen unless headroom < 1).
     """
+    # extra_probes: additional (pos, tri, resolution) rasterizations the
+    # SAME config must stay lossless for (e.g. camera_projection's UV-atlas
+    # pass alongside its view renders) — each budget sizes to the worst
+    # probe.
     probe = base._replace(bin_med=max(base.bin_med, 1))
-    stats = binning_stats(pos, tri, resolution, probe)
+    probes = [(pos, tri, resolution)] + list(extra_probes)
+    stats_list = [binning_stats(p, t, r, probe) for p, t, r in probes]
+    stats = {
+        k: max(st[k] for st in stats_list)
+        for k in ("n_med", "n_huge", "max_per_tile", "live_entries")
+    }
 
     def pow2_at_least(n, lo):
         v = lo
@@ -1117,16 +1127,22 @@ def auto_fast_config(
     if k_cap is not None and stats["max_per_tile"] > k_cap:
         k_cap = pow2_at_least(int(headroom * stats["max_per_tile"]), k_cap)
     cap_factor = base.bin_flat_cap_factor
-    t_total = int(tri.shape[0])
-    if cap_factor > 0 and stats["live_entries"] > cap_factor * t_total:
-        cap_factor = -(-int(headroom * stats["live_entries"]) // t_total)
+    if cap_factor > 0:
+        for (p_i, t_i, r_i), st in zip(probes, stats_list):
+            t_tot = int(t_i.shape[0])
+            if st["live_entries"] > cap_factor * t_tot:
+                cap_factor = max(
+                    cap_factor,
+                    -(-int(headroom * st["live_entries"]) // t_tot),
+                )
     cfg = base._replace(
         bin_med=med, bin_huge=huge, max_tris_per_tile=k_cap,
         bin_flat_cap_factor=cap_factor,
     )
-    final = binning_stats(pos, tri, resolution, cfg)
-    if not final["ok"]:
-        raise ValueError(f"auto_fast_config failed to validate: {final}")
+    for p_i, t_i, r_i in probes:
+        final = binning_stats(p_i, t_i, r_i, cfg)
+        if not final["ok"]:
+            raise ValueError(f"auto_fast_config failed to validate: {final}")
     return cfg
 
 
