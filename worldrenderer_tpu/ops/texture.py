@@ -57,6 +57,29 @@ def _quad_table(tex: jnp.ndarray, boundary_mode: str):
     )
 
 
+def _blend_taps(taps, fx, fy, c_ch, zero_masks=None):
+    """Combine a fused quad gather's four taps with bilinear weights.
+    ``zero_masks``: (in_x0, in_x1, in_y0, in_y1) per-tap validity for the
+    'zero' boundary mode (kills clamped-index taps that aliased a live
+    texel); None otherwise."""
+    w00 = (1.0 - fx) * (1.0 - fy)
+    w01 = fx * (1.0 - fy)
+    w10 = (1.0 - fx) * fy
+    w11 = fx * fy
+    if zero_masks is not None:
+        in_x0, in_x1, in_y0, in_y1 = zero_masks
+        w00 = w00 * (in_x0 & in_y0)
+        w01 = w01 * (in_x1 & in_y0)
+        w10 = w10 * (in_x0 & in_y1)
+        w11 = w11 * (in_x1 & in_y1)
+    return (
+        taps[..., 0 * c_ch : 1 * c_ch] * w00
+        + taps[..., 1 * c_ch : 2 * c_ch] * w01
+        + taps[..., 2 * c_ch : 3 * c_ch] * w10
+        + taps[..., 3 * c_ch : 4 * c_ch] * w11
+    )
+
+
 def texture_construct_mip(
     tex: jnp.ndarray, max_mip_level: Optional[int] = None
 ) -> list:
@@ -180,27 +203,17 @@ def texture(
     taps = jax.vmap(sample_quad, in_axes=(None if shared else 0, 0))(
         quad[0] if shared else quad, flat
     ).astype(jnp.float32)
-    t00 = taps[..., 0 * c_ch : 1 * c_ch]
-    t01 = taps[..., 1 * c_ch : 2 * c_ch]
-    t10 = taps[..., 2 * c_ch : 3 * c_ch]
-    t11 = taps[..., 3 * c_ch : 4 * c_ch]
-
-    w00 = (1.0 - fx) * (1.0 - fy)
-    w01 = fx * (1.0 - fy)
-    w10 = (1.0 - fx) * fy
-    w11 = fx * fy
+    zero_masks = None
     if boundary_mode == "zero":
         # Far-out taps landed on the zero border already; these masks kill
         # the ones whose clamped index aliased a live texel.
-        in_x0 = ((x0 >= 0) & (x0 < tw))[..., None]
-        in_x1 = ((x0 + 1 >= 0) & (x0 + 1 < tw))[..., None]
-        in_y0 = ((y0 >= 0) & (y0 < th))[..., None]
-        in_y1 = ((y0 + 1 >= 0) & (y0 + 1 < th))[..., None]
-        w00 = w00 * (in_x0 & in_y0)
-        w01 = w01 * (in_x1 & in_y0)
-        w10 = w10 * (in_x0 & in_y1)
-        w11 = w11 * (in_x1 & in_y1)
-    return t00 * w00 + t01 * w01 + t10 * w10 + t11 * w11
+        zero_masks = (
+            ((x0 >= 0) & (x0 < tw))[..., None],
+            ((x0 + 1 >= 0) & (x0 + 1 < tw))[..., None],
+            ((y0 >= 0) & (y0 < th))[..., None],
+            ((y0 + 1 >= 0) & (y0 + 1 < th))[..., None],
+        )
+    return _blend_taps(taps, fx, fy, c_ch, zero_masks)
 
 
 def _texture_mip(
@@ -285,25 +298,15 @@ def _texture_mip(
         taps = jax.vmap(g, in_axes=(None if shared else 0, 0))(
             packed[0] if shared else packed, flat
         ).astype(jnp.float32)
-        w00 = (1.0 - fx) * (1.0 - fy)
-        w01 = fx * (1.0 - fy)
-        w10 = (1.0 - fx) * fy
-        w11 = fx * fy
+        zero_masks = None
         if boundary_mode == "zero":
-            in_x0 = ((x0 >= 0) & (x0 < twi))[..., None]
-            in_x1 = ((x0 + 1 >= 0) & (x0 + 1 < twi))[..., None]
-            in_y0 = ((y0 >= 0) & (y0 < thi))[..., None]
-            in_y1 = ((y0 + 1 >= 0) & (y0 + 1 < thi))[..., None]
-            w00 = w00 * (in_x0 & in_y0)
-            w01 = w01 * (in_x1 & in_y0)
-            w10 = w10 * (in_x0 & in_y1)
-            w11 = w11 * (in_x1 & in_y1)
-        return (
-            taps[..., 0 * c_ch : 1 * c_ch] * w00
-            + taps[..., 1 * c_ch : 2 * c_ch] * w01
-            + taps[..., 2 * c_ch : 3 * c_ch] * w10
-            + taps[..., 3 * c_ch : 4 * c_ch] * w11
-        )
+            zero_masks = (
+                ((x0 >= 0) & (x0 < twi))[..., None],
+                ((x0 + 1 >= 0) & (x0 + 1 < twi))[..., None],
+                ((y0 >= 0) & (y0 < thi))[..., None],
+                ((y0 + 1 >= 0) & (y0 + 1 < thi))[..., None],
+            )
+        return _blend_taps(taps, fx, fy, c_ch, zero_masks)
 
     if filter_mode == "linear-mipmap-nearest":
         return sample_level(jnp.round(lvl).astype(jnp.int32))
