@@ -622,3 +622,37 @@ def test_auto_fast_config_sizes_tiers_per_scene():
     cfg3 = auto_fast_config(pc2, tri2, (512, 512), base=base_small_k)
     assert cfg3.max_tris_per_tile >= 445
     assert binning_stats(pc2, tri2, (512, 512), cfg3)["ok"]
+
+
+def test_auto_fast_config_multi_probe_covers_both():
+    """extra_probes: one config must validate lossless for BOTH a view-res
+    rasterization and a (coarser-tiled, denser) atlas-scale one, with each
+    budget >= the per-probe tuned value."""
+    from worldrenderer_tpu.mesh import make_grid_mesh, uv_sphere_mesh
+    from worldrenderer_tpu.ops.rasterize import auto_fast_config, binning_stats
+
+    verts, faces, uv = uv_sphere_mesh(65, 129)
+    uv_clip = jnp.asarray(uv, jnp.float32) * 2.0 - 1.0
+    uv_clip4 = jnp.concatenate(
+        [uv_clip, jnp.zeros_like(uv_clip[..., :1]),
+         jnp.ones_like(uv_clip[..., :1])], axis=-1,
+    )[None]
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=20.0, distance=2.7, fovy_deg=40.0, num_views=4,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(jnp.asarray(verts, jnp.float32),
+                                       cam.mvp_mtx)
+
+    cfg = auto_fast_config(
+        uv_clip4, tri, (512, 512),
+        extra_probes=[(pos_clip, tri, (256, 256))],
+    )
+    assert binning_stats(uv_clip4, tri, (512, 512), cfg)["ok"]
+    assert binning_stats(pos_clip, tri, (256, 256), cfg)["ok"]
+
+    solo_uv = auto_fast_config(uv_clip4, tri, (512, 512))
+    solo_view = auto_fast_config(pos_clip, tri, (256, 256))
+    assert cfg.bin_med >= max(solo_uv.bin_med, solo_view.bin_med)
+    assert cfg.bin_huge >= max(solo_uv.bin_huge, solo_view.bin_huge)
