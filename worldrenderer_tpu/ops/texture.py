@@ -132,10 +132,13 @@ def texture(
 
     Returns (B, H, W, C) float32.
 
-    dtype: a bfloat16 ``tex`` keeps the quad table in bf16 — gathers are
-    ~1.3x faster on v5e (half the bytes per latency-bound row) at bf16
-    texel precision; weights and the lerp still run in float32. Any other
-    dtype is promoted to float32.
+    dtype: a bfloat16 ``tex`` keeps the quad/mip tables in bf16 — HALF
+    the table memory (a 4096^2 RGB quad table drops 800 -> 400 MB) at
+    bf16 texel precision; weights and the lerp still run in float32 and
+    the output is float32. Speed is NEUTRAL in-context (interleaved A/B
+    at 1024^2 measured 0.95x: real UV access is coherent, so the random-
+    gather microbench's 1.3x does not transfer). Any other dtype is
+    promoted to float32.
     """
     tex = jnp.asarray(tex)
     if tex.dtype != jnp.bfloat16:
