@@ -72,10 +72,15 @@ def check_binning_budgets(pos_clip, tri, resolution, cfg):
     }
 
 
-def _time_scanned(step_fn, *args, floor_reps: int = 5, min_time: float = 2.0):
+def _time_scanned(
+    step_fn, *args, floor_reps: int = 5, min_time: float = 1.5, n_batches: int = 3
+):
     """Time float(step_fn(*args, seed)) with the latency floor subtracted.
-    step_fn must return an on-device scalar (checksum). Returns seconds per
-    call."""
+    step_fn must return an on-device scalar (checksum). Returns a list of
+    ``n_batches`` independent seconds-per-call measurements taken in one
+    process (compile amortized across all of them) — machine drift on the
+    shared tunnel is +-30% run-to-run, so a single sample can sit far below
+    the real median. Callers report median + [min, max]."""
     import jax
     import jax.numpy as jnp
 
@@ -89,6 +94,8 @@ def _time_scanned(step_fn, *args, floor_reps: int = 5, min_time: float = 2.0):
     v = float(step_fn(*args, jnp.float32(0)))  # warmup / compile
     assert np.isfinite(v), f"non-finite checksum {v}"
 
+    # Size the rep count once on a calibration batch, then take n_batches
+    # independent timed batches at that rep count.
     reps = 1
     while True:
         t0 = time.perf_counter()
@@ -99,14 +106,49 @@ def _time_scanned(step_fn, *args, floor_reps: int = 5, min_time: float = 2.0):
             break
         reps *= 4
     assert np.isfinite(v)
-    return max(dt - floor * reps, 1e-9) / reps
+
+    samples = []
+    for b in range(n_batches):
+        t0 = time.perf_counter()
+        for i in range(reps):
+            v = float(step_fn(*args, jnp.float32(b * reps + i + 1)))
+        dt = time.perf_counter() - t0
+        assert np.isfinite(v)
+        samples.append(max(dt - floor * reps, 1e-9) / reps)
+    return samples
 
 
-def _emit(metric, value, unit, baseline=None):
+def _emit(metric, value, unit, baseline=None, spread=None, n=None):
+    """One JSON line. ``value`` is the median-of-n; ``spread`` = [min, max]
+    across the n same-process batches (VERDICT r1 item 6: the recorded
+    number must be robust by construction, not by rerun discipline)."""
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if baseline:
         rec["vs_baseline"] = round(value / baseline, 4)
+    if spread is not None:
+        rec["spread"] = [round(spread[0], 2), round(spread[1], 2)]
+    if n is not None:
+        rec["n"] = n
     print(json.dumps(rec))
+
+
+def _emit_rate(metric, work, secs, baseline=None):
+    """Emit a work/secs rate from a list of per-batch seconds measurements:
+    median as the value, [min, max] as the spread."""
+    vals = sorted(work / s for s in secs)
+    _emit(
+        metric, float(np.median(vals)), "views/s", baseline,
+        spread=(vals[0], vals[-1]), n=len(vals),
+    )
+
+
+def _emit_secs(metric, secs):
+    """Emit a seconds-per-call metric (median + spread) from batch samples."""
+    vals = sorted(secs)
+    _emit(
+        metric, float(np.median(vals)), "s",
+        spread=(vals[0], vals[-1]), n=len(vals),
+    )
 
 
 def _render_views_per_sec(
@@ -154,8 +196,8 @@ def _render_views_per_sec(
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(r_inner))
         return acc
 
-    sec = _time_scanned(bench_step, mesh, cam)
-    _emit(metric, n_views * r_inner / sec, "views/s", baseline)
+    secs = _time_scanned(bench_step, mesh, cam)
+    _emit_rate(metric, n_views * r_inner, secs, baseline)
 
 
 def _heightfield_scene(n=72, extent=1.0):
@@ -411,11 +453,13 @@ def bench_config5():
         acc, _ = jax.lax.scan(body, jnp.float32(0), (v_pos_all, cam_all))
         return acc
 
-    sec = _time_scanned(sweep, v_pos_all, cam_all)
+    secs = _time_scanned(sweep, v_pos_all, cam_all)
+    vals = sorted(n_meshes * n_poses / s for s in secs)
     _emit(
         "c5_sweep_views_per_sec_per_chip_12pose_512",
-        n_meshes * n_poses / sec,
+        float(np.median(vals)),
         "views/s/chip",
+        spread=(vals[0], vals[-1]), n=len(vals),
     )
 
 
@@ -458,10 +502,8 @@ def bench_projection():
         out = uv_blend(pre, geo, attr, do_uv_padding=False).uv_attr_blend
         return jnp.sum(jnp.abs(out))
 
-    sec = _time_scanned(project, mesh, cam, views)
-    _emit(
-        f"projection_e2e_sec_uv{uv_size}_{n_views}view_{res}", sec, "s",
-    )
+    secs = _time_scanned(project, mesh, cam, views)
+    _emit_secs(f"projection_e2e_sec_uv{uv_size}_{n_views}view_{res}", secs)
 
 
 def _projection_auto_cfg(mesh, cam, res, uv_size):
@@ -529,10 +571,10 @@ def bench_projection_full():
         ).uv_attr_blend
         return jnp.sum(jnp.abs(out))
 
-    sec = _time_scanned(project, mesh, cam, views)
-    _emit(
+    secs = _time_scanned(project, mesh, cam, views)
+    _emit_secs(
         f"projection_full_poisson1000_pad_sec_uv{uv_size}_{n_views}view_{res}",
-        sec, "s",
+        secs,
     )
 
 
