@@ -21,12 +21,15 @@ import numpy as np
 __all__ = [
     "process_mesh",
     "uv_parameterize_uvatlas",
+    "last_atlas_stretch",
     "process_raw",
     "weld_vertices",
     "remove_small_components",
     "fill_holes",
     "taubin_smooth",
     "decimate",
+    "decimate_with_texture",
+    "repair_non_manifold",
     "native_available",
 ]
 
@@ -68,6 +71,8 @@ def _get_lib():
         lib.meshproc_result_nv.restype = ctypes.c_int64
         lib.meshproc_result_nf.restype = ctypes.c_int64
         lib.meshproc_result_nuv.restype = ctypes.c_int64
+        lib.meshproc_result_nv_tex.restype = ctypes.c_int64
+        lib.meshproc_atlas_stretch.restype = ctypes.c_double
         _lib = lib
     except Exception as e:  # pragma: no cover - toolchain issues
         _lib_error = str(e)
@@ -148,6 +153,65 @@ def decimate(vertices, faces, target_faces: int):
     )
 
 
+def repair_non_manifold(vertices, faces, vertdispratio: float = 0.1):
+    """Repair non-manifold edges (drop smallest-area extra faces until every
+    edge has <=2) and split bowtie vertices with a ``vertdispratio``
+    displacement (reference meshing_repair_non_manifold_edges +
+    meshing_repair_non_manifold_vertices, mesh_process.py:122-129)."""
+    return _native_op(
+        "meshproc_repair_non_manifold", vertices, faces,
+        ctypes.c_double(vertdispratio),
+    )
+
+
+def decimate_with_texture(
+    v_pos,
+    v_tex,
+    faces,
+    target_faces: int,
+    boundary_weight: float = 1000.0,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Texture-preserving QEM decimation (reference
+    decimate_quadric_edge_collapse_with_texture, mesh_process.py:30-47).
+
+    ``v_pos`` (N, 3) and ``v_tex`` (N, 2) share the UV-unified (seam-cut)
+    indexing of ``faces`` — the representation ``process_raw`` exports.
+    Collapse error lives in R^5 = (x, y, z, u*s, v*s) with s = bbox diagonal
+    (commensurates a full texture-width UV error with a mesh-sized spatial
+    error); UV seams are boundary edges in this indexing and get heavy
+    line-constraint quadrics, so the atlas survives decimation. Returns
+    (v_pos, v_tex, faces)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(f"native meshproc unavailable: {_lib_error}")
+    v_pos = np.ascontiguousarray(v_pos, np.float64)
+    v_tex = np.ascontiguousarray(v_tex, np.float64)
+    f = np.ascontiguousarray(faces, np.int64)
+    diag = float(np.linalg.norm(v_pos.max(0) - v_pos.min(0)))
+    s = diag if diag > 0 else 1.0
+    v5 = np.concatenate([v_pos, v_tex * s], axis=1)
+    v5 = np.ascontiguousarray(v5, np.float64)
+    rc = lib.meshproc_decimate_textured(
+        v5.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(len(v5)),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(f)),
+        ctypes.c_int64(target_faces),
+        ctypes.c_double(boundary_weight),
+    )
+    if rc != 0:
+        raise RuntimeError(f"meshproc_decimate_textured failed with code {rc}")
+    nv = lib.meshproc_result_nv_tex()
+    nf = lib.meshproc_result_nf()
+    out5 = np.empty((nv, 5), np.float64)
+    out_f = np.empty((nf, 3), np.int64)
+    lib.meshproc_get_result_tex(
+        out5.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_f.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return out5[:, :3], out5[:, 3:] / s, out_f
+
+
 def _vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
     fn = np.cross(
         vertices[faces[:, 1]] - vertices[faces[:, 0]],
@@ -212,8 +276,12 @@ def uv_parameterize_uvatlas(
     """Per-face-corner UV parameterization (reference
     uv_parameterize_uvatlas mesh_process.py:224-252, open3d compute_uvatlas).
     Returns (#F, 3, 2). Charting is normal-clustered region growing with
-    planar projection + shelf packing; ``gutter`` is in texels of ``size``."""
-    del max_stretch, parallel_partitions, nthreads  # parity args
+    planar projection + shelf packing; ``gutter`` is in texels of ``size``.
+    ``max_stretch`` (UVAtlas semantics, in [0,1]) bounds each chart's
+    normalized L2 geometric stretch at 1/(1-max_stretch) — over-stretched
+    charts are re-grown with tighter normal cones until they pass; the
+    measured maximum is available via :func:`last_atlas_stretch`."""
+    del parallel_partitions, nthreads  # parity args
     lib = _get_lib()
     if lib is None:
         raise RuntimeError(f"native meshproc unavailable: {_lib_error}")
@@ -222,6 +290,7 @@ def uv_parameterize_uvatlas(
         vp, nv, fp, nf,
         ctypes.c_double(gutter / float(size)),
         ctypes.c_double(0.7),
+        ctypes.c_double(max_stretch),
     )
     if rc != 0:
         raise RuntimeError(f"meshproc_uv_atlas failed with code {rc}")
@@ -229,6 +298,15 @@ def uv_parameterize_uvatlas(
     uv = np.empty((n_uv, 2), np.float64)
     lib.meshproc_get_uvs(uv.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return uv.reshape(-1, 3, 2).astype(np.float32)
+
+
+def last_atlas_stretch() -> float:
+    """Measured maximum per-chart normalized L2 stretch of the most recent
+    :func:`uv_parameterize_uvatlas` call (1.0 = isometric)."""
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(f"native meshproc unavailable: {_lib_error}")
+    return float(lib.meshproc_atlas_stretch())
 
 
 def process_raw(mesh_path: str, save_path: str, preprocess: bool = True) -> None:

@@ -9,6 +9,8 @@
 // Build: g++ -O3 -march=native -fPIC -shared -std=c++17 meshproc.cpp -o libmeshproc.so
 
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -17,6 +19,7 @@
 #include <unordered_map>
 #include <unordered_set>
 #include <algorithm>
+#include <functional>
 #include <limits>
 
 namespace {
@@ -171,6 +174,116 @@ void remove_duplicate_faces(Mesh& m) {
     if (seen.insert(h).second) out_f.push_back(face);
   }
   m.f = std::move(out_f);
+}
+
+// ---------------------------------------------------------------------------
+// Non-manifold repair (meshing_repair_non_manifold_edges +
+// meshing_repair_non_manifold_vertices analog, reference
+// mesh_process.py:122-129).  Two passes:
+//   1. edges incident to >2 faces: keep the two largest-area faces, drop the
+//      rest (pymeshlab's "Remove Faces" strategy), iterated to a fixpoint
+//      since dropping a face can change other edges' counts;
+//   2. non-manifold (bowtie) vertices whose incident-face fan splits into
+//      multiple edge-connected components: duplicate the vertex per extra
+//      component, displacing each copy toward its component centroid by
+//      vertdispratio (pymeshlab vertdispratio semantics).
+// After this, every edge has <=2 faces and every vertex one fan — the
+// invariants fill_holes' boundary tracing and QEM collapse assume.
+// ---------------------------------------------------------------------------
+void repair_non_manifold(Mesh& m, double vertdispratio = 0.1) {
+  auto ekey = [](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+  };
+  auto face_area = [&](const std::array<int64_t, 3>& f) {
+    return (m.v[f[1]] - m.v[f[0]]).cross(m.v[f[2]] - m.v[f[0]]).norm();
+  };
+
+  // Pass 1: edge repair to a fixpoint.
+  std::vector<char> dead(m.f.size(), 0);
+  for (int iter = 0; iter < 16; ++iter) {
+    std::unordered_map<uint64_t, std::vector<int64_t>> edge_faces;
+    edge_faces.reserve(m.f.size() * 2);
+    for (size_t fi = 0; fi < m.f.size(); ++fi) {
+      if (dead[fi]) continue;
+      for (int e = 0; e < 3; ++e)
+        edge_faces[ekey(m.f[fi][e], m.f[fi][(e + 1) % 3])].push_back(
+            (int64_t)fi);
+    }
+    bool changed = false;
+    for (auto& kv : edge_faces) {
+      auto& lst = kv.second;
+      if ((int64_t)lst.size() <= 2) continue;
+      std::sort(lst.begin(), lst.end(), [&](int64_t a, int64_t b) {
+        return face_area(m.f[a]) > face_area(m.f[b]);
+      });
+      for (size_t k = 2; k < lst.size(); ++k)
+        if (!dead[lst[k]]) { dead[lst[k]] = 1; changed = true; }
+    }
+    if (!changed) break;
+  }
+  {
+    std::vector<std::array<int64_t, 3>> out_f;
+    out_f.reserve(m.f.size());
+    for (size_t fi = 0; fi < m.f.size(); ++fi)
+      if (!dead[fi]) out_f.push_back(m.f[fi]);
+    m.f = std::move(out_f);
+  }
+
+  // Pass 2: split bowtie vertices. Incident faces of each vertex are grouped
+  // by shared incident edges; components beyond the first get a displaced
+  // duplicate of the vertex.
+  std::vector<std::vector<int64_t>> vfaces(m.v.size());
+  for (size_t fi = 0; fi < m.f.size(); ++fi)
+    for (int e = 0; e < 3; ++e) vfaces[m.f[fi][e]].push_back((int64_t)fi);
+
+  const size_t nv0 = m.v.size();
+  for (size_t vi = 0; vi < nv0; ++vi) {
+    auto& inc = vfaces[vi];
+    if (inc.size() < 2) continue;
+    // local union-find over incident faces, joined by shared edges at vi
+    std::vector<int64_t> parent(inc.size());
+    for (size_t i = 0; i < inc.size(); ++i) parent[i] = (int64_t)i;
+    std::function<int64_t(int64_t)> find = [&](int64_t a) {
+      while (parent[a] != a) a = parent[a] = parent[parent[a]];
+      return a;
+    };
+    // map: other-endpoint -> first local face index seen with edge (vi, other)
+    std::unordered_map<int64_t, int64_t> edge_first;
+    for (size_t li = 0; li < inc.size(); ++li) {
+      auto& f = m.f[inc[li]];
+      for (int e = 0; e < 3; ++e) {
+        if (f[e] != (int64_t)vi) continue;
+        for (int64_t other : {f[(e + 1) % 3], f[(e + 2) % 3]}) {
+          auto it = edge_first.find(other);
+          if (it == edge_first.end()) edge_first[other] = (int64_t)li;
+          else parent[find((int64_t)li)] = find(it->second);
+        }
+      }
+    }
+    std::unordered_map<int64_t, std::vector<int64_t>> comps;
+    for (size_t li = 0; li < inc.size(); ++li)
+      comps[find((int64_t)li)].push_back((int64_t)li);
+    if (comps.size() <= 1) continue;
+    bool first = true;
+    for (auto& kv : comps) {
+      if (first) { first = false; continue; }  // first fan keeps vi
+      V3 centroid{0, 0, 0};
+      int64_t cnt = 0;
+      for (int64_t li : kv.second) {
+        auto& f = m.f[inc[li]];
+        for (int e = 0; e < 3; ++e) { centroid = centroid + m.v[f[e]]; ++cnt; }
+      }
+      centroid = centroid * (1.0 / (double)cnt);
+      int64_t nvi = (int64_t)m.v.size();
+      m.v.push_back(m.v[vi] + (centroid - m.v[vi]) * vertdispratio);
+      for (int64_t li : kv.second) {
+        auto& f = m.f[inc[li]];
+        for (int e = 0; e < 3; ++e)
+          if (f[e] == (int64_t)vi) f[e] = nvi;
+      }
+    }
+  }
 }
 
 // ---------------------------------------------------------------------------
@@ -418,23 +531,262 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
 }
 
 // ---------------------------------------------------------------------------
+// Texture-preserving QEM decimation (Garland-Heckbert "Simplifying Surfaces
+// with Color and Texture using Quadric Error Metrics", SIGGRAPH 98 —
+// reference capability: decimate_quadric_edge_collapse_with_texture,
+// mesh_process.py:30-47).  Vertices live in R^5 = (x, y, z, u*s, v*s) where
+// s commensurates UV error with spatial error; faces define affine 5D
+// subspaces whose generalized quadrics drive edge collapse.  The mesh is the
+// UV-unified (seam-cut) representation, so seam edges are boundary edges and
+// get heavily weighted edge-line constraint quadrics — seams stay put.
+// ---------------------------------------------------------------------------
+struct V5 {
+  double d[5] = {0, 0, 0, 0, 0};
+  V5 operator+(const V5& o) const {
+    V5 r;
+    for (int i = 0; i < 5; ++i) r.d[i] = d[i] + o.d[i];
+    return r;
+  }
+  V5 operator-(const V5& o) const {
+    V5 r;
+    for (int i = 0; i < 5; ++i) r.d[i] = d[i] - o.d[i];
+    return r;
+  }
+  V5 operator*(double s) const {
+    V5 r;
+    for (int i = 0; i < 5; ++i) r.d[i] = d[i] * s;
+    return r;
+  }
+  double dot(const V5& o) const {
+    double r = 0;
+    for (int i = 0; i < 5; ++i) r += d[i] * o.d[i];
+    return r;
+  }
+  double norm() const { return std::sqrt(dot(*this)); }
+};
+
+struct Quadric5 {
+  double A[15] = {0};  // upper triangle of symmetric 5x5
+  double b[5] = {0};
+  double c = 0;
+  void accumulate(const Quadric5& o) {
+    for (int i = 0; i < 15; ++i) A[i] += o.A[i];
+    for (int i = 0; i < 5; ++i) b[i] += o.b[i];
+    c += o.c;
+  }
+  Quadric5 operator+(const Quadric5& o) const {
+    Quadric5 r = *this;
+    r.accumulate(o);
+    return r;
+  }
+  // A += w * (I - e1 e1^T - e2 e2^T); b += w * ((p·e1)e1 + (p·e2)e2 - p);
+  // c += w * (p·p - (p·e1)^2 - (p·e2)^2).  Distance-to-subspace form.
+  void add_subspace(const V5& p, const V5& e1, const V5& e2, bool has_e2,
+                    double w) {
+    double pe1 = p.dot(e1), pe2 = has_e2 ? p.dot(e2) : 0.0;
+    int k = 0;
+    for (int i = 0; i < 5; ++i)
+      for (int j = i; j < 5; ++j) {
+        double a = (i == j ? 1.0 : 0.0) - e1.d[i] * e1.d[j];
+        if (has_e2) a -= e2.d[i] * e2.d[j];
+        A[k++] += w * a;
+      }
+    for (int i = 0; i < 5; ++i) {
+      double bi = pe1 * e1.d[i] - p.d[i];
+      if (has_e2) bi += pe2 * e2.d[i];
+      b[i] += w * bi;
+    }
+    c += w * (p.dot(p) - pe1 * pe1 - pe2 * pe2);
+  }
+  double eval(const V5& v) const {
+    double Av[5] = {0};
+    int k = 0;
+    for (int i = 0; i < 5; ++i)
+      for (int j = i; j < 5; ++j) {
+        double a = A[k++];
+        Av[i] += a * v.d[j];
+        if (j != i) Av[j] += a * v.d[i];
+      }
+    double r = c;
+    for (int i = 0; i < 5; ++i) r += v.d[i] * Av[i] + 2.0 * b[i] * v.d[i];
+    return r;
+  }
+};
+
+void qem_decimate_tex(std::vector<V5>& verts,
+                      std::vector<std::array<int64_t, 3>>& fcs,
+                      int64_t target_faces, double boundary_weight) {
+  const size_t nv = verts.size();
+  std::vector<Quadric5> quadrics(nv);
+  auto area3 = [&](const std::array<int64_t, 3>& f) {
+    V3 a{verts[f[0]].d[0], verts[f[0]].d[1], verts[f[0]].d[2]};
+    V3 b{verts[f[1]].d[0], verts[f[1]].d[1], verts[f[1]].d[2]};
+    V3 c{verts[f[2]].d[0], verts[f[2]].d[1], verts[f[2]].d[2]};
+    return 0.5 * (b - a).cross(c - a).norm();
+  };
+  for (auto& face : fcs) {
+    const V5 &p0 = verts[face[0]], &p1 = verts[face[1]], &p2 = verts[face[2]];
+    V5 d1 = p1 - p0, d2 = p2 - p0;
+    double n1 = d1.norm();
+    if (n1 < 1e-30) continue;
+    V5 e1 = d1 * (1.0 / n1);
+    V5 r = d2 - e1 * d2.dot(e1);
+    double nr = r.norm();
+    bool has_e2 = nr > 1e-30;
+    V5 e2 = has_e2 ? r * (1.0 / nr) : V5{};
+    double w = std::max(area3(face), 1e-12);
+    Quadric5 fq;
+    fq.add_subspace(p0, e1, e2, has_e2, w);
+    for (int i = 0; i < 3; ++i) quadrics[face[i]].accumulate(fq);
+  }
+  // Boundary (incl. UV-seam) edge constraints: line quadric, heavy weight.
+  {
+    std::unordered_map<uint64_t, int> edge_count;
+    auto ekey = [](int64_t a, int64_t b) {
+      if (a > b) std::swap(a, b);
+      return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+    };
+    for (auto& face : fcs)
+      for (int e = 0; e < 3; ++e)
+        edge_count[ekey(face[e], face[(e + 1) % 3])]++;
+    for (auto& face : fcs)
+      for (int e = 0; e < 3; ++e) {
+        int64_t a = face[e], b = face[(e + 1) % 3];
+        if (edge_count[ekey(a, b)] != 1) continue;
+        V5 d = verts[b] - verts[a];
+        double n = d.norm();
+        if (n < 1e-30) continue;
+        V5 e1 = d * (1.0 / n);
+        Quadric5 bq;
+        bq.add_subspace(verts[a], e1, V5{}, false, boundary_weight * n * n);
+        quadrics[a].accumulate(bq);
+        quadrics[b].accumulate(bq);
+      }
+  }
+
+  UF uf(nv);
+  auto root = [&](int64_t i) { return uf.find(i); };
+  struct Cand {
+    double cost;
+    int64_t a, b;
+    int stamp_a, stamp_b;
+    bool operator>(const Cand& o) const { return cost > o.cost; }
+  };
+  std::vector<int> stamp(nv, 0);
+  std::priority_queue<Cand, std::vector<Cand>, std::greater<Cand>> heap;
+  auto edge_cost = [&](int64_t a, int64_t b) {
+    Quadric5 q = quadrics[a] + quadrics[b];
+    V5 mid = (verts[a] + verts[b]) * 0.5;
+    double cm = q.eval(mid), ca = q.eval(verts[a]), cb = q.eval(verts[b]);
+    double best = std::min(cm, std::min(ca, cb));
+    V5 pos = (cm <= ca && cm <= cb) ? mid : (ca <= cb ? verts[a] : verts[b]);
+    return std::make_pair(best, pos);
+  };
+  std::unordered_set<uint64_t> edge_set;
+  auto ekey = [](int64_t a, int64_t b) {
+    if (a > b) std::swap(a, b);
+    return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+  };
+  auto push_edge = [&](int64_t a, int64_t b) {
+    auto [cost, pos] = edge_cost(a, b);
+    (void)pos;
+    heap.push({cost, a, b, stamp[a], stamp[b]});
+  };
+  for (auto& face : fcs)
+    for (int e = 0; e < 3; ++e) {
+      int64_t a = face[e], b = face[(e + 1) % 3];
+      if (edge_set.insert(ekey(a, b)).second) push_edge(a, b);
+    }
+
+  std::vector<std::vector<int64_t>> vfaces(nv);
+  for (size_t fi = 0; fi < fcs.size(); ++fi)
+    for (int e = 0; e < 3; ++e) vfaces[fcs[fi][e]].push_back((int64_t)fi);
+  std::vector<char> face_dead(fcs.size(), 0);
+  int64_t alive = (int64_t)fcs.size();
+
+  while (alive > target_faces && !heap.empty()) {
+    Cand c = heap.top();
+    heap.pop();
+    int64_t a = root(c.a), b = root(c.b);
+    if (a == b) continue;
+    if (stamp[c.a] != c.stamp_a || stamp[c.b] != c.stamp_b) continue;
+    auto [cost, pos] = edge_cost(a, b);
+    (void)cost;
+    verts[a] = pos;
+    quadrics[a].accumulate(quadrics[b]);
+    uf.p[b] = a;
+    stamp[a]++;
+    stamp[b]++;
+    auto& fa = vfaces[a];
+    auto& fb = vfaces[b];
+    fa.insert(fa.end(), fb.begin(), fb.end());
+    fb.clear();
+    std::sort(fa.begin(), fa.end());
+    fa.erase(std::unique(fa.begin(), fa.end()), fa.end());
+    std::vector<int64_t> still;
+    still.reserve(fa.size());
+    std::unordered_set<int64_t> nbrs;
+    for (int64_t fi : fa) {
+      if (face_dead[fi]) continue;
+      auto& face = fcs[fi];
+      int64_t r0 = root(face[0]), r1 = root(face[1]), r2 = root(face[2]);
+      if (r0 == r1 || r1 == r2 || r0 == r2) {
+        face_dead[fi] = 1;
+        --alive;
+        continue;
+      }
+      still.push_back(fi);
+      for (int64_t r : {r0, r1, r2})
+        if (r != a) nbrs.insert(r);
+    }
+    vfaces[a] = std::move(still);
+    for (int64_t nb : nbrs) push_edge(a, nb);
+  }
+
+  std::vector<std::array<int64_t, 3>> out_f;
+  out_f.reserve((size_t)alive);
+  for (size_t fi = 0; fi < fcs.size(); ++fi) {
+    if (face_dead[fi]) continue;
+    auto& face = fcs[fi];
+    out_f.push_back({root(face[0]), root(face[1]), root(face[2])});
+  }
+  fcs = std::move(out_f);
+  // compact
+  std::vector<int64_t> remap(verts.size(), -1);
+  std::vector<V5> out_v;
+  for (auto& face : fcs)
+    for (auto& idx : face)
+      if (remap[idx] < 0) {
+        remap[idx] = (int64_t)out_v.size();
+        out_v.push_back(verts[idx]);
+      }
+  for (auto& face : fcs)
+    for (auto& idx : face) idx = remap[idx];
+  verts = std::move(out_v);
+}
+
+// ---------------------------------------------------------------------------
 // UV atlas: greedy normal-clustered charts, per-chart planar projection,
 // shelf rectangle packing (compute_uvatlas analog). Outputs per-face-corner
 // UVs (nf * 3 * 2) like open3d's triangle.texture_uvs.
 // ---------------------------------------------------------------------------
 void uv_atlas(const Mesh& m, double gutter_frac, double normal_thresh,
-              std::vector<double>& uv_out) {
+              double max_stretch, std::vector<double>& uv_out,
+              double* out_max_stretch,
+              std::vector<int64_t>* out_chart = nullptr) {
   const size_t nf = m.f.size();
   uv_out.assign(nf * 6, 0.0);
+  if (out_max_stretch) *out_max_stretch = 0.0;
   if (nf == 0) return;
 
-  // face normals + adjacency
+  // face normals + areas + adjacency
   std::vector<V3> fn(nf);
+  std::vector<double> farea(nf);
   for (size_t i = 0; i < nf; ++i) {
     auto& face = m.f[i];
-    fn[i] = (m.v[face[1]] - m.v[face[0]])
-                .cross(m.v[face[2]] - m.v[face[0]])
-                .normalized();
+    V3 cr = (m.v[face[1]] - m.v[face[0]]).cross(m.v[face[2]] - m.v[face[0]]);
+    farea[i] = 0.5 * cr.norm();
+    fn[i] = cr.normalized();
   }
   std::unordered_map<uint64_t, std::vector<int64_t>> edge_faces;
   auto ekey = [](int64_t a, int64_t b) {
@@ -445,60 +797,165 @@ void uv_atlas(const Mesh& m, double gutter_frac, double normal_thresh,
     for (int e = 0; e < 3; ++e)
       edge_faces[ekey(m.f[i][e], m.f[i][(e + 1) % 3])].push_back((int64_t)i);
 
-  // region growing: BFS over adjacency while normal stays within thresh of
-  // the chart seed normal.
+  // Stretch bound (UVAtlas semantics: max_stretch in [0,1], 0 = none
+  // allowed): normalized per-chart L2 geometric stretch (Sander et al.,
+  // "Texture Mapping Progressive Meshes", SIGGRAPH 01 — the metric UVAtlas/
+  // isochart minimizes) must stay <= 1/(1-max_stretch).  Charts that exceed
+  // it are re-grown with a tighter normal cone until they pass; a single
+  // face projects isometrically (stretch exactly 1), so the loop terminates.
+  const bool bounded = max_stretch > 0.0 && max_stretch < 1.0;
+  const double bound = bounded ? 1.0 / (1.0 - max_stretch) : 1e300;
+  double thresh0 = normal_thresh;
+  if (bounded) thresh0 = std::max(thresh0, 1.0 - max_stretch);
+
   std::vector<int64_t> chart(nf, -1);
+  std::vector<double> chart_thresh;
+  std::vector<char> eligible(nf, 0);
   int64_t n_charts = 0;
-  for (size_t seed = 0; seed < nf; ++seed) {
-    if (chart[seed] >= 0) continue;
-    int64_t cid = n_charts++;
-    V3 seed_n = fn[seed];
-    std::queue<int64_t> bfs;
-    bfs.push((int64_t)seed);
-    chart[seed] = cid;
-    while (!bfs.empty()) {
-      int64_t fi = bfs.front();
-      bfs.pop();
-      for (int e = 0; e < 3; ++e) {
-        auto& lst = edge_faces[ekey(m.f[fi][e], m.f[fi][(e + 1) % 3])];
-        for (int64_t nb : lst) {
-          if (chart[nb] >= 0) continue;
-          if (fn[nb].dot(seed_n) >= normal_thresh) {
-            chart[nb] = cid;
-            bfs.push(nb);
+
+  // region growing restricted to `pool` (faces must be eligible+unassigned):
+  // BFS over adjacency while normal stays within t of the chart seed normal.
+  auto grow = [&](const std::vector<int64_t>& pool, double t) {
+    for (int64_t fi : pool) eligible[fi] = 1;
+    for (int64_t seed : pool) {
+      if (chart[seed] >= 0) continue;
+      int64_t cid = n_charts++;
+      chart_thresh.push_back(t);
+      V3 seed_n = fn[seed];
+      std::queue<int64_t> bfs;
+      bfs.push(seed);
+      chart[seed] = cid;
+      while (!bfs.empty()) {
+        int64_t fi = bfs.front();
+        bfs.pop();
+        for (int e = 0; e < 3; ++e) {
+          auto& lst = edge_faces[ekey(m.f[fi][e], m.f[fi][(e + 1) % 3])];
+          for (int64_t nb : lst) {
+            if (!eligible[nb] || chart[nb] >= 0) continue;
+            if (fn[nb].dot(seed_n) >= t) {
+              chart[nb] = cid;
+              bfs.push(nb);
+            }
           }
         }
       }
     }
+    for (int64_t fi : pool) eligible[fi] = 0;
+  };
+  {
+    std::vector<int64_t> all(nf);
+    for (size_t i = 0; i < nf; ++i) all[i] = (int64_t)i;
+    grow(all, thresh0);
   }
 
-  // per chart: build orthonormal basis from the seed normal, project
+  // projected corner coords + per-chart stretch measurement, re-split loop
+  std::vector<std::array<double, 6>> proj(nf);
+  std::vector<std::array<V3, 2>> basis;
+  std::vector<double> chart_stretch;
+  double measured_max = 1.0;
+
+  auto project_and_measure = [&]() {
+    basis.assign(n_charts, {V3{1, 0, 0}, V3{0, 1, 0}});
+    std::vector<V3> chart_n(n_charts, V3{0, 0, 0});
+    for (size_t i = 0; i < nf; ++i)
+      chart_n[chart[i]] = chart_n[chart[i]] + fn[i] * farea[i];
+    std::vector<char> chart_used(n_charts, 0);
+    for (size_t i = 0; i < nf; ++i) chart_used[chart[i]] = 1;
+    for (int64_t c = 0; c < n_charts; ++c) {
+      if (!chart_used[c]) continue;
+      V3 n = chart_n[c].normalized();
+      if (n.norm() < 0.5) n = V3{0, 0, 1};
+      V3 up = std::fabs(n.z) < 0.9 ? V3{0, 0, 1} : V3{1, 0, 0};
+      V3 u = n.cross(up).normalized();
+      V3 v = n.cross(u);
+      basis[c] = {u, v};
+    }
+    std::vector<double> sumE(n_charts, 0), sumA3(n_charts, 0),
+        sumA2(n_charts, 0);
+    // Near-degenerate slivers (pole fans, weld residue) have meaningless
+    // Jacobians and zero visible texels — exclude them from the stretch
+    // measurement with a RELATIVE area floor.
+    double max_area = 0;
+    for (size_t i = 0; i < nf; ++i) max_area = std::max(max_area, farea[i]);
+    const double area_eps = 1e-12 * max_area;
+    for (size_t i = 0; i < nf; ++i) {
+      int64_t c = chart[i];
+      double s[3], t[3];
+      for (int k = 0; k < 3; ++k) {
+        const V3& p = m.v[m.f[i][k]];
+        s[k] = basis[c][0].dot(p);
+        t[k] = basis[c][1].dot(p);
+        proj[i][2 * k] = s[k];
+        proj[i][2 * k + 1] = t[k];
+      }
+      double A3 = farea[i];
+      if (A3 <= area_eps) continue;
+      double A2s =
+          0.5 * ((s[1] - s[0]) * (t[2] - t[0]) - (s[2] - s[0]) * (t[1] - t[0]));
+      sumA3[c] += A3;
+      sumA2[c] += std::fabs(A2s);
+      if (std::fabs(A2s) < 1e-14 * A3) {
+        sumE[c] += A3 * 1e12;  // degenerate projection: force a split
+        continue;
+      }
+      const V3 &q0 = m.v[m.f[i][0]], &q1 = m.v[m.f[i][1]], &q2 = m.v[m.f[i][2]];
+      V3 Ss = (q0 * (t[1] - t[2]) + q1 * (t[2] - t[0]) + q2 * (t[0] - t[1])) *
+              (1.0 / (2.0 * A2s));
+      V3 St = (q0 * (s[2] - s[1]) + q1 * (s[0] - s[2]) + q2 * (s[1] - s[0])) *
+              (1.0 / (2.0 * A2s));
+      double l2sq = 0.5 * (Ss.dot(Ss) + St.dot(St));
+      sumE[c] += A3 * l2sq;
+    }
+    chart_stretch.assign(n_charts, 1.0);
+    measured_max = 1.0;
+    int64_t argmax = -1;
+    for (int64_t c = 0; c < n_charts; ++c) {
+      if (sumA3[c] < 1e-30) continue;
+      chart_stretch[c] = std::sqrt(sumE[c] / sumA3[c]) *
+                         std::sqrt(sumA2[c] / sumA3[c]);
+      if (chart_stretch[c] > measured_max) {
+        measured_max = chart_stretch[c];
+        argmax = c;
+      }
+    }
+    if (getenv("MESHPROC_DEBUG") && argmax >= 0)
+      fprintf(stderr, "worst chart %lld: stretch=%g sumE=%g sumA3=%g sumA2=%g\n",
+              (long long)argmax, measured_max, sumE[argmax], sumA3[argmax],
+              sumA2[argmax]);
+  };
+
+  project_and_measure();
+  for (int iter = 0; bounded && iter < 32 && measured_max > bound; ++iter) {
+    const int64_t nc = n_charts;  // grow() appends charts; iterate a snapshot
+    std::vector<std::vector<int64_t>> cfaces(nc);
+    for (size_t i = 0; i < nf; ++i) cfaces[chart[i]].push_back((int64_t)i);
+    bool split_any = false;
+    for (int64_t c = 0; c < nc; ++c) {
+      if (chart_stretch[c] <= bound || cfaces[c].size() <= 1) continue;
+      // tighten the cone: shrink the allowed deviation angle by 0.7
+      double t2 = std::cos(0.7 * std::acos(std::min(1.0, chart_thresh[c])));
+      for (int64_t fi : cfaces[c]) chart[fi] = -1;
+      grow(cfaces[c], t2);
+      split_any = true;
+    }
+    if (!split_any) break;
+    project_and_measure();
+  }
+  if (out_max_stretch) *out_max_stretch = measured_max;
+  if (out_chart) *out_chart = chart;
+
+  // chart bounds for packing
   struct ChartBox {
     int64_t cid;
     double w, h;
     double ox, oy;  // origin in projected space
   };
-  std::vector<V3> chart_n(n_charts, V3{0, 0, 0});
-  for (size_t i = 0; i < nf; ++i) chart_n[chart[i]] = chart_n[chart[i]] + fn[i];
-  std::vector<std::array<V3, 2>> basis(n_charts);
-  for (int64_t c = 0; c < n_charts; ++c) {
-    V3 n = chart_n[c].normalized();
-    V3 up = std::fabs(n.z) < 0.9 ? V3{0, 0, 1} : V3{1, 0, 0};
-    V3 u = n.cross(up).normalized();
-    V3 v = n.cross(u);
-    basis[c] = {u, v};
-  }
-  // projected corner coords + chart bounds
-  std::vector<std::array<double, 6>> proj(nf);
   std::vector<double> minu(n_charts, 1e300), minv(n_charts, 1e300),
       maxu(n_charts, -1e300), maxv(n_charts, -1e300);
   for (size_t i = 0; i < nf; ++i) {
     int64_t c = chart[i];
     for (int k = 0; k < 3; ++k) {
-      const V3& p = m.v[m.f[i][k]];
-      double pu = basis[c][0].dot(p), pv = basis[c][1].dot(p);
-      proj[i][2 * k] = pu;
-      proj[i][2 * k + 1] = pv;
+      double pu = proj[i][2 * k], pv = proj[i][2 * k + 1];
       minu[c] = std::min(minu[c], pu);
       maxu[c] = std::max(maxu[c], pu);
       minv[c] = std::min(minv[c], pv);
@@ -506,18 +963,21 @@ void uv_atlas(const Mesh& m, double gutter_frac, double normal_thresh,
     }
   }
 
-  // shelf packing, charts sorted by height
+  // shelf packing, charts sorted by height (charts emptied by the stretch
+  // re-split loop are skipped)
   std::vector<ChartBox> boxes(n_charts);
   double total_area = 0;
+  std::vector<int64_t> order;
+  order.reserve(n_charts);
   for (int64_t c = 0; c < n_charts; ++c) {
+    if (minu[c] > maxu[c]) { boxes[c] = {c, 0, 0, 0, 0}; continue; }
     double w = std::max(maxu[c] - minu[c], 1e-9);
     double h = std::max(maxv[c] - minv[c], 1e-9);
     boxes[c] = {c, w, h, 0, 0};
     total_area += w * h;
+    order.push_back(c);
   }
   double gut = std::sqrt(total_area) * gutter_frac;
-  std::vector<int64_t> order(n_charts);
-  for (int64_t i = 0; i < n_charts; ++i) order[i] = i;
   std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
     return boxes[a].h > boxes[b].h;
   });
@@ -554,6 +1014,9 @@ void uv_atlas(const Mesh& m, double gutter_frac, double normal_thresh,
 thread_local std::vector<double> g_verts;
 thread_local std::vector<int64_t> g_faces;
 thread_local std::vector<double> g_uvs;
+thread_local std::vector<double> g_verts_tex;  // (nv, 5) x,y,z,u,v
+thread_local double g_atlas_stretch = 0.0;
+thread_local std::vector<int64_t> g_chart_ids;
 
 void store(const Mesh& m) {
   g_verts.resize(m.v.size() * 3);
@@ -574,8 +1037,10 @@ void store(const Mesh& m) {
 
 extern "C" {
 
-// Full preprocess chain (process_mesh analog): weld -> island removal ->
-// dup-face repair -> hole fill -> taubin -> decimate -> taubin -> repair.
+// Full preprocess chain (process_mesh analog, reference
+// mesh_process.py:168-220): weld -> island removal -> dup-face + non-manifold
+// repair -> hole fill -> taubin -> decimate -> taubin -> repair (again,
+// matching the reference's two repair call points at :190 and :218).
 // Returns 0 on success; result fetched with meshproc_get_result.
 int meshproc_process(const double* verts, int64_t nv, const int64_t* faces,
                      int64_t nf, double weld_threshold,
@@ -586,15 +1051,65 @@ int meshproc_process(const double* verts, int64_t nv, const int64_t* faces,
   int64_t min_faces = (int64_t)((double)m.f.size() * min_component_ratio);
   if (min_faces > 1) remove_small_components(m, min_faces);
   remove_duplicate_faces(m);
+  repair_non_manifold(m);
   fill_holes(m, max_hole_size);
   if (smooth_steps > 0) taubin_smooth(m, smooth_steps);
   if (target_faces > 0 && (int64_t)m.f.size() > target_faces)
     qem_decimate(m, target_faces);
   if (smooth_steps > 0) taubin_smooth(m, smooth_steps);
   remove_duplicate_faces(m);
+  repair_non_manifold(m);
   compact_vertices(m);
   store(m);
   return 0;
+}
+
+// Standalone non-manifold repair (reference mesh_process.py:122-129).
+int meshproc_repair_non_manifold(const double* verts, int64_t nv,
+                                 const int64_t* faces, int64_t nf,
+                                 double vertdispratio) {
+  Mesh m = make_mesh(verts, nv, faces, nf);
+  repair_non_manifold(m, vertdispratio);
+  compact_vertices(m);
+  store(m);
+  return 0;
+}
+
+// Texture-preserving QEM (reference
+// decimate_quadric_edge_collapse_with_texture, mesh_process.py:30-47).
+// verts5 = (nv, 5) rows of (x, y, z, u*uv_scale, v*uv_scale) in the
+// UV-unified (seam-cut) indexing; caller divides UVs back by uv_scale.
+int meshproc_decimate_textured(const double* verts5, int64_t nv,
+                               const int64_t* faces, int64_t nf,
+                               int64_t target_faces, double boundary_weight) {
+  std::vector<V5> v(nv);
+  for (int64_t i = 0; i < nv; ++i)
+    for (int k = 0; k < 5; ++k) v[i].d[k] = verts5[5 * i + k];
+  std::vector<std::array<int64_t, 3>> f(nf);
+  for (int64_t i = 0; i < nf; ++i)
+    f[i] = {faces[3 * i], faces[3 * i + 1], faces[3 * i + 2]};
+  qem_decimate_tex(v, f, target_faces, boundary_weight);
+  g_verts_tex.resize(v.size() * 5);
+  for (size_t i = 0; i < v.size(); ++i)
+    for (int k = 0; k < 5; ++k) g_verts_tex[5 * i + k] = v[i].d[k];
+  g_faces.resize(f.size() * 3);
+  for (size_t i = 0; i < f.size(); ++i) {
+    g_faces[3 * i] = f[i][0];
+    g_faces[3 * i + 1] = f[i][1];
+    g_faces[3 * i + 2] = f[i][2];
+  }
+  g_verts.clear();
+  return 0;
+}
+
+int64_t meshproc_result_nv_tex() { return (int64_t)(g_verts_tex.size() / 5); }
+
+void meshproc_get_result_tex(double* verts5_out, int64_t* faces_out) {
+  if (verts5_out && !g_verts_tex.empty())
+    std::memcpy(verts5_out, g_verts_tex.data(),
+                g_verts_tex.size() * sizeof(double));
+  if (faces_out && !g_faces.empty())
+    std::memcpy(faces_out, g_faces.data(), g_faces.size() * sizeof(int64_t));
 }
 
 int meshproc_weld(const double* verts, int64_t nv, const int64_t* faces,
@@ -640,11 +1155,25 @@ int meshproc_decimate(const double* verts, int64_t nv, const int64_t* faces,
 }
 
 // UV atlas: fills g_uvs with nf*3*2 doubles (per-face-corner UVs).
+// max_stretch in [0,1] bounds the normalized per-chart L2 geometric stretch
+// at 1/(1-max_stretch); <=0 disables the bound. The measured max chart
+// stretch is retrievable with meshproc_atlas_stretch().
 int meshproc_uv_atlas(const double* verts, int64_t nv, const int64_t* faces,
-                      int64_t nf, double gutter_frac, double normal_thresh) {
+                      int64_t nf, double gutter_frac, double normal_thresh,
+                      double max_stretch) {
   Mesh m = make_mesh(verts, nv, faces, nf);
-  uv_atlas(m, gutter_frac, normal_thresh, g_uvs);
+  g_chart_ids.clear();
+  uv_atlas(m, gutter_frac, normal_thresh, max_stretch, g_uvs,
+           &g_atlas_stretch, &g_chart_ids);
   return 0;
+}
+
+double meshproc_atlas_stretch() { return g_atlas_stretch; }
+
+// Per-face chart id of the most recent uv_atlas call (nf entries).
+void meshproc_get_chart_ids(int64_t* out) {
+  if (out && !g_chart_ids.empty())
+    std::memcpy(out, g_chart_ids.data(), g_chart_ids.size() * sizeof(int64_t));
 }
 
 int64_t meshproc_result_nv() { return (int64_t)(g_verts.size() / 3); }
