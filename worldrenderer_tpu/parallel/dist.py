@@ -30,9 +30,18 @@ def initialize_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """Initialize multi-host JAX. No-op in single-process settings (the
-    common case under test / single-slice runs)."""
+    common case under test / single-slice runs).
+
+    Must run before the first backend use. On the CPU backend (tests, local
+    multi-process rehearsal) cross-process collectives need the Gloo
+    implementation selected before the client is built; this is a no-op for
+    TPU backends, which bring their own collectives."""
     if num_processes is None or num_processes <= 1:
         return
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:  # pragma: no cover - older jaxlib without gloo
+        pass
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -50,10 +59,16 @@ def is_main_process() -> bool:
 
 
 def barrier() -> None:
-    """Global device barrier: a psum of a scalar over all devices. Matches
-    the semantics of the reference's guarded ``barrier()`` (misc.py:129-136):
-    no-op when only one device participates."""
-    n = jax.device_count()
+    """Global barrier. Matches the semantics of the reference's guarded
+    ``barrier()`` (misc.py:129-136): no-op when only one device participates.
+    Multi-process uses a cross-host sync (an allgather over every global
+    device); single-process keeps the cheap local psum."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("worldrenderer_tpu_barrier")
+        return
+    n = jax.local_device_count()
     if n <= 1:
         return
     x = jnp.ones((n,))
