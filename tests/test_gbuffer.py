@@ -214,3 +214,34 @@ def test_split_bf16_exact_ids_beyond_2_16():
     assert mism < 5e-3, mism  # split_bf16 z-ordering flips only
     big = ide > 2**16
     assert (idf[big] == ide[big]).mean() > 0.995
+
+
+@pytest.mark.parametrize("prec", ["split_bf16", "highest"])
+def test_kernel_unroll2_bit_identical(prec):
+    """kernel_unroll=2 (paired chunks, independent compare chains, odd tail)
+    reorders only the winner MERGES, whose min/tie-break semantics are
+    associative with the <=/< split — outputs must be BIT-identical to the
+    classic unroll=1 loop."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    verts, faces = make_grid_mesh(72)  # 10082 tris, above sort_pairs min
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=35.0, distance=2.2, fovy_deg=50.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    v_nrm = jnp.ones((v_pos.shape[0], 3), jnp.float32)
+    cfg = FAST_TPU_CONFIG._replace(dot_precision=prec)
+    a = rasterize_gbuffer(pos_clip, tri, v_nrm, (160, 160), cfg)
+    b = rasterize_gbuffer(
+        pos_clip, tri, v_nrm, (160, 160), cfg._replace(kernel_unroll=2)
+    )
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))

@@ -661,6 +661,7 @@ def _gbuffer_dma_batched(
     z, idm, vals = gbuffer_tiles_dma(
         planes_flat, sel_flat, start_chunks, n_chunks,
         nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],
+        config.kernel_unroll,
     )
     z = z[:, :height, :width]
     idm = idm[:, :height, :width]

@@ -381,6 +381,7 @@ def _kernel_dma(
     tile_h,
     tile_w,
     dot_precision,
+    unroll=1,
 ):
     """Fused z/id/attr pass, v2: manual double-buffered DMA of the tile's
     flat 128-aligned coefficient segment + winner-select matmul.
@@ -407,6 +408,7 @@ def _kernel_dma(
     base = start_ref[b, i]
     nch = nch_ref[b, i]
     p = tile_h * tile_w
+    n_slots = pbuf.shape[0]
 
     flat = jax.lax.broadcasted_iota(jnp.int32, (4, p), 1)
     rowid = jax.lax.broadcasted_iota(jnp.int32, (4, p), 0)
@@ -437,23 +439,8 @@ def _kernel_dma(
             ssem.at[slot],
         )
 
-    @pl.when(nch > 0)
-    def _():
-        pdma(0, 0).start()
-        sdma(0, 0).start()
-
-    def body(ci, carry):
-        zbuf, idbuf, selbuf = carry
-        slot = jax.lax.rem(ci, 2)
-
-        @pl.when(ci + 1 < nch)
-        def _():
-            pdma(1 - slot, ci + 1).start()
-            sdma(1 - slot, ci + 1).start()
-
-        pdma(slot, ci).wait()
-        sdma(slot, ci).wait()
-
+    def eval_chunk(slot):
+        """One chunk's (zmin, sel): coverage eval + unique-winner select."""
         a_t = pbuf[slot]  # (4, 4c); zero 4th coef row pairs with b_mat row 3
         if dot_precision == "split_bf16":
             # hi/lo passes MERGED into one depth-8 contraction against
@@ -498,6 +485,11 @@ def _kernel_dma(
 
         a_s = sbuf[slot]  # (m_pad, c); rows beyond m_sel are zero padding
         if dot_precision == "split_bf16":
+            # Two separate hi/lo dots. An output-dim-stacked single dot
+            # ([s_hi; s_lo] @ W, 32 rows in one 128-row MXU tile) measured
+            # ~4% SLOWER in interleaved A/B (median ratio 1.041, all pairs
+            # >= 1.0) — the concat copy costs more than the second small
+            # dot, which Mosaic evidently already pipelines.
             w_bf = first.astype(jnp.bfloat16)
             s_hi = a_s.astype(jnp.bfloat16)
             s_lo = (a_s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -509,7 +501,7 @@ def _kernel_dma(
                     preferred_element_type=jnp.float32,
                 )
 
-            sel = sel_dot(s_hi) + sel_dot(s_lo)  # (m_sel, P)
+            sel = sel_dot(s_hi) + sel_dot(s_lo)
         else:
             sel = jax.lax.dot_general(
                 a_s, first.astype(jnp.float32),
@@ -517,7 +509,10 @@ def _kernel_dma(
                 preferred_element_type=jnp.float32,
                 precision=dot_precision,
             )
+        return zmin, sel
 
+    def merge(carry, zmin, sel):
+        zbuf, idbuf, selbuf = carry
         upd = zmin < zbuf
         zbuf = jnp.where(upd, zmin, zbuf)
         # id rides as hi/lo byte rows: each is < 2^16 so the two-pass bf16
@@ -533,7 +528,85 @@ def _kernel_dma(
         jnp.full((1, p), jnp.float32(_BIG_SLOT), jnp.float32),
         jnp.zeros((m_sel - 2, p), jnp.float32),
     )
-    zbuf, idbuf, selbuf = jax.lax.fori_loop(0, nch, body, init)
+
+    if unroll == 2:
+        # Two-chunk manual unroll (4 DMA slots): the pair's compare/reduce
+        # chains are fully independent until the final merge, giving the
+        # scheduler a basic block with 2x the ILP; loop and DMA bookkeeping
+        # halve. The odd tail runs through a trailing 0/1-trip loop.
+        @pl.when(nch > 0)
+        def _():
+            pdma(0, 0).start()
+            sdma(0, 0).start()
+
+        @pl.when(nch > 1)
+        def _():
+            pdma(1, 1).start()
+            sdma(1, 1).start()
+
+        def pair_body(pi, carry):
+            ci = pi * 2
+            sa = jax.lax.rem(ci, n_slots)
+            sb = sa + 1
+
+            @pl.when(ci + 2 < nch)
+            def _():
+                s2 = jax.lax.rem(ci + 2, n_slots)
+                pdma(s2, ci + 2).start()
+                sdma(s2, ci + 2).start()
+
+            @pl.when(ci + 3 < nch)
+            def _():
+                s3 = jax.lax.rem(ci + 3, n_slots)
+                pdma(s3, ci + 3).start()
+                sdma(s3, ci + 3).start()
+
+            pdma(sa, ci).wait()
+            sdma(sa, ci).wait()
+            pdma(sb, ci + 1).wait()
+            sdma(sb, ci + 1).wait()
+
+            za, sela = eval_chunk(sa)
+            zb, selb = eval_chunk(sb)
+            # Chunk a holds the lower triangle ids: <= keeps a on z-ties,
+            # preserving the reference's min-id tie rule.
+            aw = za <= zb
+            zp = jnp.where(aw, za, zb)
+            sp = jnp.where(aw, sela, selb)
+            return merge(carry, zp, sp)
+
+        carry = jax.lax.fori_loop(0, nch // 2, pair_body, init)
+
+        def tail_body(ci, carry):
+            slot = jax.lax.rem(ci, n_slots)
+            pdma(slot, ci).wait()
+            sdma(slot, ci).wait()
+            z1, s1 = eval_chunk(slot)
+            return merge(carry, z1, s1)
+
+        zbuf, idbuf, selbuf = jax.lax.fori_loop(
+            (nch // 2) * 2, nch, tail_body, carry
+        )
+    else:
+        @pl.when(nch > 0)
+        def _():
+            pdma(0, 0).start()
+            sdma(0, 0).start()
+
+        def body(ci, carry):
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < nch)
+            def _():
+                pdma(1 - slot, ci + 1).start()
+                sdma(1 - slot, ci + 1).start()
+
+            pdma(slot, ci).wait()
+            sdma(slot, ci).wait()
+            zmin, sel = eval_chunk(slot)
+            return merge(carry, zmin, sel)
+
+        zbuf, idbuf, selbuf = jax.lax.fori_loop(0, nch, body, init)
 
     covered = zbuf < _BIG_Z
     zv = selbuf[0:1] * lx + selbuf[1:2] * ly + selbuf[2:3]  # fp32 winner z
@@ -548,7 +621,7 @@ def _kernel_dma(
         v_out[0, vi, :, :] = row.reshape(tile_h, tile_w)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def gbuffer_tiles_dma(
     planes_flat: jnp.ndarray,  # (B, 3, NCH*4c) chunk-major plane coefficients
     sel_flat: jnp.ndarray,  # (B, m_sel, NCH*c) chunk-major select rows
@@ -561,6 +634,7 @@ def gbuffer_tiles_dma(
     n_tx: int,
     c: int,
     dot_precision=jax.lax.Precision.HIGHEST,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched v2 G-buffer kernel over an (views, tiles) grid. The flat
     coefficient lists stay in HBM; each tile's 128-aligned segment is
@@ -576,8 +650,9 @@ def gbuffer_tiles_dma(
 
     kernel = functools.partial(
         _kernel_dma, c=c, n_vals=n_vals, m_sel=m_sel, tile_h=tile_h,
-        tile_w=tile_w, dot_precision=dot_precision,
+        tile_w=tile_w, dot_precision=dot_precision, unroll=unroll,
     )
+    n_slots = 4 if unroll == 2 else 2
     interpret = jax.default_backend() not in ("tpu", "axon")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -604,10 +679,10 @@ def gbuffer_tiles_dma(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 4, 4 * c), jnp.float32),
-            pltpu.VMEM((2, m_pad, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, 4, 4 * c), jnp.float32),
+            pltpu.VMEM((n_slots, m_pad, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     z, idm, vals = pl.pallas_call(

@@ -65,8 +65,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "rasterize", "rasterize_db", "RasterizerConfig", "FAST_TPU_CONFIG",
-    "binning_stats", "auto_fast_config",
+    "rasterize", "rasterize_db", "rasterize_diff", "RasterizerConfig",
+    "FAST_TPU_CONFIG", "binning_stats", "auto_fast_config",
 ]
 
 _W_EPS = 1e-8
@@ -119,6 +119,13 @@ class RasterizerConfig(NamedTuple):
     # safest), "high" (3-pass bf16, ~fp32 accuracy, faster). Setup einsums
     # always run at highest — their pre-rebase magnitudes are unbounded.
     dot_precision: str = "highest"
+    # DMA-kernel chunk unroll: 2 processes chunk pairs with independent
+    # compare/reduce chains (more ILP, half the loop/DMA bookkeeping) and an
+    # odd-chunk tail; 1 is the classic double-buffered loop. Measured
+    # perf-NEUTRAL on v5e (interleaved A/B median ratio 0.999 — Mosaic
+    # already pipelines the serial loop); kept as a tested variant for
+    # other chips/scenes.
+    kernel_unroll: int = 1
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -1225,3 +1232,94 @@ def rasterize(
     pos = pos.astype(jnp.float32)
     tri = tri.astype(jnp.int32)
     return _rasterize_batched(pos, tri, tuple(resolution), config)
+
+
+def _diff_barycentrics(
+    pos: jnp.ndarray, tri: jnp.ndarray, tid: jnp.ndarray,
+    height: int, width: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Differentiable (u, v, z/w) of the (fixed) winner triangles.
+
+    pos (B, V, 4) clip, tid (B, H, W) int32 winner ids (+1, 0 = bg, treated
+    as constant). Perspective-correct barycentrics from the same viewport
+    convention as :func:`_triangle_setup` (pixel centers at +0.5):
+        u = e1/w1 / sum_i e_i/w_i,  v = e2/w2 / ...,
+        z = sum_i e_i * (z_i/w_i) / sum_i e_i
+    with e_i the screen-space sub-triangle areas at the pixel center —
+    every term a jnp op, so d(u,v,z)/d(pos) flows by autodiff."""
+    t = jnp.maximum(tid - 1, 0)
+    corners = jax.vmap(lambda p, idx: p[tri[idx]])(pos, t)  # (B, H, W, 3, 4)
+    w = corners[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < _W_EPS, _W_EPS, w)
+    inv_w = 1.0 / w_safe
+    x = (corners[..., 0] * inv_w + 1.0) * (width * 0.5)  # (B, H, W, 3)
+    y = (corners[..., 1] * inv_w + 1.0) * (height * 0.5)
+    zw = corners[..., 2] * inv_w
+
+    px = jax.lax.broadcasted_iota(jnp.float32, tid.shape, 2) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, tid.shape, 1) + 0.5
+    # e_i = cross(v_prv - v_nxt, p - v_nxt): barycentric numerator of vtx i.
+    e = []
+    for i in range(3):
+        nxt, prv = (i + 1) % 3, (i + 2) % 3
+        dx = x[..., prv] - x[..., nxt]
+        dy = y[..., prv] - y[..., nxt]
+        e.append(dx * (py - y[..., nxt]) - dy * (px - x[..., nxt]))
+    e_sum = e[0] + e[1] + e[2]
+    e_sum = jnp.where(jnp.abs(e_sum) < 1e-20, 1e-20, e_sum)
+    d = e[0] * inv_w[..., 0] + e[1] * inv_w[..., 1] + e[2] * inv_w[..., 2]
+    d = jnp.where(jnp.abs(d) < 1e-30, 1e-30, d)
+    u = e[1] * inv_w[..., 1] / d
+    v = e[2] * inv_w[..., 2] / d
+    z = (e[0] * zw[..., 0] + e[1] * zw[..., 1] + e[2] * zw[..., 2]) / e_sum
+    return u, v, z
+
+
+def rasterize_diff(
+    pos: jnp.ndarray,
+    tri: jnp.ndarray,
+    resolution: Tuple[int, int],
+    config: RasterizerConfig = DEFAULT_CONFIG,
+) -> jnp.ndarray:
+    """Rasterize with VERTEX-POSITION gradients (nvdiffrast's gradient
+    model, reference capability via render.py:30-62): coverage (the winner
+    id image) is a piecewise-constant function of ``pos`` and is treated as
+    fixed (stop-gradient); the (u, v, z/w) channels carry exact analytic
+    gradients w.r.t. the clip positions through a differentiable
+    perspective-correct barycentric recompute. Silhouette/occlusion-boundary
+    gradients are NOT produced here — route color through
+    :func:`..antialias.antialias` (its edge-crossing weights are themselves
+    differentiable in ``pos``), matching nvdiffrast's division of labor.
+
+    Primal values are bit-identical to :func:`rasterize` (straight-through:
+    the recompute contributes only the tangent); cost adds one
+    (B, H, W, 3, 4) corner gather + dense math — use for optimization
+    loops, not the forward-only fast path.
+    """
+    if pos.ndim != 3:
+        raise ValueError("pos must be (B, V, 4) — range mode is not supported")
+    pos = pos.astype(jnp.float32)
+    tri = tri.astype(jnp.int32)
+    height, width = resolution
+    rast = _rasterize_batched(
+        jax.lax.stop_gradient(pos), tri, tuple(resolution), config
+    )
+    tid = rast[..., 3].astype(jnp.int32)
+    u, v, z = _diff_barycentrics(pos, tri, tid, height, width)
+    covered = (tid > 0).astype(jnp.float32)
+
+    def st(primal, recomp):
+        # straight-through: primal from the exact rasterizer, tangent from
+        # the differentiable recompute (zeroed on background)
+        recomp = recomp * covered
+        return jax.lax.stop_gradient(primal - recomp) + recomp
+
+    return jnp.stack(
+        [
+            st(rast[..., 0], u),
+            st(rast[..., 1], v),
+            st(rast[..., 2], z),
+            rast[..., 3],
+        ],
+        axis=-1,
+    )
