@@ -7,10 +7,11 @@ quad-table texture gather and the compositing math — this must hold on
 the fused (Pallas-backed) backend too, since the kernel itself is never
 differentiated. Pin it with finite differences.
 
-Geometry (vertex-position) gradients through the rasterizer are an
-explicit non-goal: the reference never optimizes geometry through
-dr.rasterize (its warp-field optimizer uses its own grid lookup, which
-ours reimplements analytically in baking/warp.py).
+Geometry (vertex-position) gradients: ``rasterize_diff`` implements
+nvdiffrast's gradient model (fixed coverage + differentiable barycentrics;
+silhouette terms via the analytic antialias pass) — pinned against finite
+differences below. The reference itself never optimizes geometry through
+dr.rasterize, so this exceeds its live usage.
 """
 
 import jax
@@ -92,3 +93,127 @@ def test_texture_fit_converges_fused(scene):
         tex = tex - 200.0 * g(tex)
     l1 = float(loss(tex))
     assert l1 < 0.3 * l0, (l0, l1)
+
+
+def test_rasterize_diff_primal_matches_rasterize():
+    """rasterize_diff's straight-through (u, v, z) must be bit-identical to
+    rasterize, and its differentiable recompute must agree with the
+    rasterizer's resolved barycentrics on covered pixels."""
+    from worldrenderer_tpu.ops.rasterize import (
+        _diff_barycentrics, rasterize, rasterize_diff,
+    )
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    verts, faces, _ = uv_sphere_mesh(17, 33)
+    cam = get_camera(
+        elevation_deg=25.0, distance=2.8, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    a = rasterize(pos, tri, (64, 64))
+    b = rasterize_diff(pos, tri, (64, 64))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tid = a[..., 3].astype(jnp.int32)
+    u, v, z = _diff_barycentrics(pos, tri, tid, 64, 64)
+    m = np.asarray(tid > 0)
+    np.testing.assert_allclose(np.asarray(u)[m], np.asarray(a[..., 0])[m], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v)[m], np.asarray(a[..., 1])[m], atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z)[m], np.asarray(a[..., 2])[m], atol=2e-4)
+
+
+def test_grad_wrt_vertex_positions_matches_finite_difference():
+    """dL/d(clip pos) through rasterize_diff + interpolate at FIXED coverage
+    (nvdiffrast's vertex-gradient model; VERDICT r1 item 7). The loss reads
+    interpolated attributes weighted by a smooth image field, so moving a
+    vertex changes it smoothly through the barycentrics."""
+    from worldrenderer_tpu.ops.interpolate import interpolate
+    from worldrenderer_tpu.ops.rasterize import rasterize_diff
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    verts, faces, uv = uv_sphere_mesh(9, 17)
+    cam = get_camera(
+        elevation_deg=25.0, distance=2.8, fovy_deg=45.0, num_views=1,
+        near=0.1, far=10.0,
+    )
+    pos0 = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    attr = jnp.asarray(uv, jnp.float32)[None]  # (1, V, 2)
+    wfield = (
+        jnp.linspace(0, 1, 48)[None, :, None, None]
+        * jnp.linspace(1, 2, 48)[None, None, :, None]
+    )
+
+    def loss(pos):
+        rast = rasterize_diff(pos, tri, (48, 48))
+        out = interpolate(attr, rast, tri)
+        return jnp.sum(out * wfield) / 100.0
+
+    g = np.asarray(jax.grad(loss)(pos0))
+    assert np.isfinite(g).all() and np.abs(g).sum() > 0
+
+    # central differences on the 3 largest-gradient coordinates; step small
+    # enough that coverage (fixed in the analytic model) rarely flips
+    flat = np.abs(g).reshape(-1)
+    order = np.argsort(flat)[::-1]
+    checked = 0
+    for k in order[:6]:
+        idx = np.unravel_index(k, g.shape)
+        eps = 1e-4
+        pp = pos0.at[idx].add(eps)
+        pm = pos0.at[idx].add(-eps)
+        fd = (float(loss(pp)) - float(loss(pm))) / (2 * eps)
+        if abs(fd) < 1e-7:
+            continue
+        np.testing.assert_allclose(g[idx], fd, rtol=8e-2, atol=1e-5)
+        checked += 1
+        if checked >= 3:
+            break
+    assert checked >= 2, "could not find stable FD probes"
+
+
+def test_antialias_silhouette_gradients():
+    """Silhouette gradients: antialias' edge-crossing weights are analytic
+    in pos, so d(sum of AA'd color)/d(vertex) is nonzero across the
+    silhouette and matches finite differences (the term fixed-coverage
+    rasterization alone cannot produce)."""
+    from worldrenderer_tpu.ops.antialias import antialias
+    from worldrenderer_tpu.ops.rasterize import rasterize, rasterize_diff
+
+    # one big triangle over a contrasting background
+    pos0 = jnp.asarray(
+        [[[-0.6, -0.5, 0.2, 1.0], [0.7, -0.4, 0.2, 1.0], [0.0, 0.75, 0.2, 1.0]]],
+        jnp.float32,
+    )
+    tri = jnp.asarray([[0, 1, 2]], jnp.int32)
+
+    def loss(pos):
+        rast = rasterize_diff(pos, tri, (32, 32))
+        color = jnp.where(
+            (rast[..., 3:4] > 0), 1.0, 0.0
+        ) * jnp.ones((1, 32, 32, 3))
+        aa = antialias(color, rast, pos, tri)
+        return jnp.sum(aa) / 10.0
+
+    g = np.asarray(jax.grad(loss)(pos0))
+    assert np.isfinite(g).all()
+    # growing the triangle adds covered area: gradient along x of vertex 0
+    # (leftmost) should be negative (moving it left increases coverage)
+    assert abs(g).sum() > 0
+
+    # eps must stay below the sub-pixel scale where hard-coverage flips
+    # enter the FD interval (probed: eps<=1e-3 agrees to ~0.1%, eps=4e-3
+    # already straddles a flip)
+    checked = 0
+    for idx in [(0, 0, 0), (0, 1, 0), (0, 2, 1), (0, 0, 1)]:
+        eps = 1e-3
+        fd = (
+            float(loss(pos0.at[idx].add(eps)))
+            - float(loss(pos0.at[idx].add(-eps)))
+        ) / (2 * eps)
+        if abs(fd) < 1e-6:
+            continue
+        np.testing.assert_allclose(g[idx], fd, rtol=0.05, atol=2e-3)
+        checked += 1
+    assert checked >= 2

@@ -23,6 +23,7 @@ from .rasterize import (
     auto_fast_config,
     rasterize,
     rasterize_db,
+    rasterize_diff,
 )
 from .tensor import (
     c2w_to_polar,
@@ -42,6 +43,7 @@ from .texture import texture, texture_construct_mip
 __all__ = [
     "RasterizerConfig",
     "rasterize",
+    "rasterize_diff",
     "auto_fast_config",
     "rasterize_db",
     "rasterize_gbuffer",

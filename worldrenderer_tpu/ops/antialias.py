@@ -107,11 +107,16 @@ def _antialias_analytic(color, rast, pos, tri):
                 e_own[sl_p] + step_p,
                 e_own[sl_q] - step_q,
             )
-            # First exit crossing along the unit segment.
+            # First exit crossing along the unit segment. Finite sentinel
+            # (2.0 > any real crossing t in [0, 1)) instead of inf, and a
+            # double-where guarded division: inf/NaN in an unselected where
+            # branch poisons the VERTEX-POSITION gradients this pass
+            # produces (the silhouette term of rasterize_diff's model).
             crossing = (e_out < 0) & (e_in >= 0)
-            t_i = e_in / jnp.maximum(e_in - e_out, 1e-20)
-            t = jnp.min(jnp.where(crossing, t_i, jnp.inf), axis=-1)
-            ok = sil & jnp.isfinite(t)
+            denom = jnp.where(crossing, e_in - e_out, 1.0)
+            t_i = jnp.where(crossing, e_in / jnp.maximum(denom, 1e-20), 2.0)
+            t = jnp.min(t_i, axis=-1)
+            ok = sil & (t <= 1.0)
 
             c_in = jnp.where(p_in[..., None], col_v[sl_p], col_v[sl_q])
             c_out = jnp.where(p_in[..., None], col_v[sl_q], col_v[sl_p])
