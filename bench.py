@@ -463,6 +463,48 @@ def bench_config5():
     )
 
 
+def bench_stress1m():
+    """1M-triangle scene, 6 views 512^2 pos+normal, rendered through the
+    LOD chain (auto level by screen coverage). Raw forward rasterization of
+    1M sub-pixel triangles is an inherent cliff (5.2 views/s measured —
+    ~150k tris bin per tile); the chain answers it the way the reference
+    does (unconditional decimation, mesh_process.py:168-220) but per view.
+    Also emits the chain-build time once."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import build_lod_chain, get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import auto_fast_config
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    n = 708  # (n-1)^2 * 2 = 999,698 triangles
+    verts, faces = make_grid_mesh(
+        n, extent=1.0, height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y)
+    )
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+    t0 = time.perf_counter()
+    chain = build_lod_chain(mesh, factors=(1, 16, 64, 256))
+    build_s = time.perf_counter() - t0
+    cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0,
+        num_views=N_VIEWS, near=0.1, far=10.0,
+    )
+    level = chain.select(cam, HEIGHT, WIDTH, target_px_per_tri=2.0)
+    lod = chain.levels[level]
+    pos_clip = get_clip_space_position(lod.v_pos, cam.mvp_mtx)
+    cfg = auto_fast_config(pos_clip, lod.t_pos_idx, (HEIGHT, WIDTH), base=_fast_cfg())
+    _render_views_per_sec(
+        lod, cam, HEIGHT, WIDTH, R_INNER,
+        f"stress1m_views_per_sec_lod_level{level}_{int(lod.num_faces)}tris",
+        render_attr=False, render_depth=False, render_normal=True,
+        raster_config=cfg,
+    )
+    _emit("stress1m_lod_chain_build_sec", build_s, "s")
+
+
 def bench_projection():
     """camera_projection end-to-end at uv_size 2048 (the reference's real
     workload: mvadapter/test/README.md uv_size 2048-4096, 6-24 views)."""
@@ -587,6 +629,7 @@ def main():
         "config3": bench_config3,
         "config4": bench_config4,
         "config5": bench_config5,
+        "stress1m": bench_stress1m,
         "projection": bench_projection,
         "projection_full": bench_projection_full,
     }

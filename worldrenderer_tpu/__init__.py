@@ -25,6 +25,7 @@ from .mesh import (
     make_grid_mesh,
     with_normals,
 )
+from .lod import LODChain, build_lod_chain, select_lod_level
 from .ops import RasterizerConfig, grid_sample, interpolate, rasterize, texture
 from .render import (
     DepthControlNetNormalization,
@@ -37,6 +38,9 @@ from .transforms import dot, get_clip_space_position, transform_points_homo
 
 __all__ = [
     "Camera",
+    "LODChain",
+    "build_lod_chain",
+    "select_lod_level",
     "get_c2w",
     "get_camera",
     "get_orthogonal_camera",

