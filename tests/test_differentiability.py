@@ -217,3 +217,54 @@ def test_antialias_silhouette_gradients():
         np.testing.assert_allclose(g[idx], fd, rtol=0.05, atol=2e-3)
         checked += 1
     assert checked >= 2
+
+
+@pytest.mark.slow
+def test_geometry_optimization_via_silhouette():
+    """End-to-end mesh optimization through rasterize_diff + antialias:
+    inflate a small sphere toward a larger target using only the AA'd
+    silhouette loss — the capability axis the reference's stack (nvdiffrast)
+    has and fixed-coverage texture grads alone cannot provide."""
+    import optax
+
+    from worldrenderer_tpu.mesh import icosphere
+    from worldrenderer_tpu.ops.antialias import antialias
+    from worldrenderer_tpu.ops.rasterize import rasterize_diff
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    verts, faces = icosphere(1)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=[15.0, 15.0], distance=[4.0, 4.0], fovy_deg=[40.0, 40.0],
+        azimuth_deg=[0.0, 90.0], near=0.1, far=10.0,
+    )
+    res = 48
+
+    def silhouette(v_pos):
+        pos = get_clip_space_position(v_pos, cam.mvp_mtx)
+        rast = rasterize_diff(pos, tri, (res, res))
+        cov = (rast[..., 3:4] > 0).astype(jnp.float32) * jnp.ones((1, 1, 1, 1))
+        return antialias(cov, rast, pos, tri)[..., 0]
+
+    target = silhouette(jnp.asarray(verts * 1.3, jnp.float32))
+
+    v0 = jnp.asarray(verts, jnp.float32)
+
+    def loss(v):
+        return jnp.mean((silhouette(v) - target) ** 2)
+
+    opt = optax.adam(2e-2)
+    v = v0
+    state = opt.init(v)
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+    l0 = float(loss(v0))
+    for _ in range(60):
+        lv, g = grad_fn(v)
+        updates, state = opt.update(g, state)
+        v = optax.apply_updates(v, updates)
+    l1 = float(loss(v))
+    assert l1 < 0.35 * l0, (l0, l1)
+    # vertices moved outward toward the 1.3x target
+    r0 = float(jnp.linalg.norm(v0, axis=1).mean())
+    r1 = float(jnp.linalg.norm(v, axis=1).mean())
+    assert r1 > r0 * 1.05, (r0, r1)

@@ -113,3 +113,39 @@ def test_texture_bf16_table_close_to_f32(rng):
     b16 = texture(jnp.asarray(tex, jnp.bfloat16), jnp.asarray(uv))
     assert b16.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(b16), f32, atol=8e-3)
+
+
+def test_render_auto_mip_reduces_minification_aliasing():
+    """texture_filter_mode="auto_mip": mip level from screen-space UV
+    finite differences. A fine checker viewed minified must come out close
+    to its mean (box-filtered) instead of aliasing to near 0/1 patches."""
+    import numpy as np
+
+    from worldrenderer_tpu import TexturedMesh, get_camera, render
+    from worldrenderer_tpu.mesh import make_grid_mesh
+
+    verts, faces = make_grid_mesh(24, extent=1.0)
+    uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
+    t = (np.indices((256, 256)).sum(0) % 2).astype(np.float32)  # 1px checker
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.stack([t, t, t], -1),
+    )
+    cam = get_camera(
+        elevation_deg=50.0, distance=3.0, fovy_deg=40.0, num_views=1,
+        near=0.1, far=10.0,
+    )
+    lin = render(mesh, cam, 64, 64, render_depth=False, render_normal=False)
+    mip = render(
+        mesh, cam, 64, 64, render_depth=False, render_normal=False,
+        texture_filter_mode="auto_mip",
+    )
+    m = np.asarray(lin.mask)
+    a_lin = np.asarray(lin.attr[..., 0])[m]
+    a_mip = np.asarray(mip.attr[..., 0])[m]
+    # box-filtered checker converges to 0.5; auto_mip must sit far closer
+    assert abs(a_mip.mean() - 0.5) < 0.05
+    assert np.abs(a_mip - 0.5).mean() < 0.5 * np.abs(a_lin - 0.5).mean()

@@ -182,7 +182,7 @@ def texture(
             tex[0] if shared else tex, ixc, iyc, in_range
         )
 
-    if filter_mode != "linear":
+    if filter_mode not in ("linear", "linear_block8"):
         raise NotImplementedError(f"filter_mode {filter_mode!r} not supported")
 
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -198,13 +198,40 @@ def texture(
     else:
         ix = jnp.clip(x0 + 1, 0, tw)
         iy = jnp.clip(y0 + 1, 0, th)
-    flat = iy * qw + ix  # (B, H, W)
 
-    def sample_quad(quad_b, flat_b):
-        return quad_b.reshape(qh * qw, 4 * c_ch)[flat_b]  # (H, W, 4C)
+    if filter_mode == "linear_block8":
+        # Block-swizzled table: rows regrouped in 8x8 texel blocks so
+        # UV-coherent screen neighborhoods hit one ~3KB row block instead
+        # of strided rows 8 apart (gathers are latency-bound; layout
+        # locality is the lever).
+        bs = 8
+        qh_p = -(-qh // bs) * bs
+        qw_p = -(-qw // bs) * bs
+        quad_p = jnp.pad(
+            quad, [(0, 0), (0, qh_p - qh), (0, qw_p - qw), (0, 0)]
+        )
+        nbx = qw_p // bs
+        table = (
+            quad_p.reshape(quad.shape[0], qh_p // bs, bs, nbx, bs, 4 * c_ch)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(quad.shape[0], qh_p * qw_p, 4 * c_ch)
+        )
+        flat = (
+            ((iy // bs) * nbx + ix // bs) * (bs * bs)
+            + (iy % bs) * bs + (ix % bs)
+        )
+        n_rows = qh_p * qw_p
+    else:
+        table = quad.reshape(quad.shape[0], qh * qw, 4 * c_ch)
+        flat = iy * qw + ix  # (B, H, W)
+        n_rows = qh * qw
 
+    def sample_quad(table_b, flat_b):
+        return table_b[flat_b]  # (H, W, 4C)
+
+    del n_rows
     taps = jax.vmap(sample_quad, in_axes=(None if shared else 0, 0))(
-        quad[0] if shared else quad, flat
+        table[0] if shared else table, flat
     ).astype(jnp.float32)
     zero_masks = None
     if boundary_mode == "zero":

@@ -84,6 +84,25 @@ class SimpleNormalization(NamedTuple):
         return jnp.where(mask, d, self.bg_value)
 
 
+def _fd_uv_da(tex_c: jnp.ndarray) -> jnp.ndarray:
+    """Screen-space UV footprint by forward finite differences of the
+    per-pixel (u, v) image: channels (du/dX, du/dY, dv/dX, dv/dY) for
+    :func:`..ops.texture.texture`'s mip-level selection
+    (``texture_filter_mode="auto_mip"``).
+
+    Inside a triangle (u, v) are smooth, so the FD matches the analytic
+    derivative to first order; across triangle/background boundaries it is
+    wrong, but there it only perturbs the MIP LEVEL of edge pixels (a
+    filtering choice, not a geometry value) — the TPU-native trade against
+    carrying analytic derivative planes through the fused kernel."""
+    du_dx = jnp.diff(tex_c, axis=2, append=tex_c[:, :, -1:])
+    du_dy = jnp.diff(tex_c, axis=1, append=tex_c[:, -1:])
+    return jnp.concatenate(
+        [du_dx[..., 0:1], du_dy[..., 0:1], du_dx[..., 1:2], du_dy[..., 1:2]],
+        axis=-1,
+    )
+
+
 def _render_fused(
     mesh: TexturedMesh,
     cam: Camera,
@@ -198,7 +217,12 @@ def _render_fused(
         a0, a1 = slices["uv"]
         tex_c = out.attr[..., a0:a1]
         tex = texture_override if texture_override is not None else mesh.texture
-        gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
+        if texture_filter_mode == "auto_mip":
+            gb_rgb_fg = texture(
+                tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto"
+            )
+        else:
+            gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
         gb_rgb = jnp.where(
             mask[..., None], gb_rgb_fg, jnp.ones_like(gb_rgb_fg) * attr_background
         )
@@ -304,7 +328,12 @@ def render(
     if render_attr:
         tex_c = interpolate(mesh.v_tex[None], rast, mesh.t_tex_idx)
         tex = texture_override if texture_override is not None else mesh.texture
-        gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
+        if texture_filter_mode == "auto_mip":
+            gb_rgb_fg = texture(
+                tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto"
+            )
+        else:
+            gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
         gb_rgb_bg = jnp.ones_like(gb_rgb_fg) * attr_background
         gb_rgb = jnp.where(mask[..., None], gb_rgb_fg, gb_rgb_bg)
         if antialias_attr:
