@@ -31,9 +31,20 @@ class LODChain:
     """Decimation pyramid over a base mesh. levels[0] is the full-detail
     mesh; levels[i] targets ``num_faces / factors[i]`` faces."""
 
-    def __init__(self, levels: List[TexturedMesh], factors: Sequence[int]):
+    def __init__(
+        self,
+        levels: List[TexturedMesh],
+        factors: Sequence[int],
+        bbox: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    ):
         self.levels = levels
         self.factors = tuple(factors)
+        # Host-side bbox of the base mesh, cached at build time: select()
+        # must not pull the full device-resident vertex buffer per call.
+        if bbox is None:
+            v = np.asarray(levels[0].v_pos)
+            bbox = (v.min(0), v.max(0))
+        self.bbox = bbox
 
     def __len__(self) -> int:
         return len(self.levels)
@@ -92,6 +103,17 @@ def build_lod_chain(
     textured = mesh.v_tex is not None and mesh.t_tex_idx is not None
     levels: List[TexturedMesh] = [mesh]
     used: List[int] = [1]
+    # Pull the base geometry to the HOST exactly once and iterate in numpy:
+    # a device-resident base mesh would otherwise be re-fetched per level
+    # (tunnel device->host is ~2 MB/s — a 1M-triangle chain build measured
+    # 404 s dominated by transfers vs ~10 s of actual decimation).
+    if textured:
+        prev_pos, prev_tex, prev_faces = _unify_uv_topology(mesh)
+    else:
+        prev_pos = np.asarray(mesh.v_pos, np.float64)
+        prev_tex = None
+        prev_faces = np.asarray(mesh.t_pos_idx, np.int64)
+    bbox = (prev_pos.min(0), prev_pos.max(0))
     for f in sorted(set(factors)):
         if f <= 1:
             continue
@@ -101,43 +123,38 @@ def build_lod_chain(
         # Progressive: decimate from the PREVIOUS level, not the base —
         # deep levels cost O(prev) instead of O(base) heap work (matters at
         # the 1M-triangle scale this exists for).
-        prev = levels[-1]
         if textured:
-            uv_pos, uv_tex, ufaces = _unify_uv_topology(prev)
-            vp, vt, fo = meshproc.decimate_with_texture(
-                uv_pos, uv_tex, ufaces, target_faces=target
+            prev_pos, prev_tex, prev_faces = meshproc.decimate_with_texture(
+                prev_pos, prev_tex, prev_faces, target_faces=target
             )
             levels.append(
                 TexturedMesh(
-                    v_pos=jnp.asarray(vp, jnp.float32),
-                    t_pos_idx=jnp.asarray(fo, jnp.int32),
-                    v_tex=jnp.asarray(vt, jnp.float32),
-                    t_tex_idx=jnp.asarray(fo, jnp.int32),
+                    v_pos=jnp.asarray(prev_pos, jnp.float32),
+                    t_pos_idx=jnp.asarray(prev_faces, jnp.int32),
+                    v_tex=jnp.asarray(prev_tex, jnp.float32),
+                    t_tex_idx=jnp.asarray(prev_faces, jnp.int32),
                     texture=mesh.texture,
                 )
             )
         else:
-            vp, fo = meshproc.decimate(
-                np.asarray(prev.v_pos, np.float64),
-                np.asarray(prev.t_pos_idx, np.int64),
-                target_faces=target,
+            prev_pos, prev_faces = meshproc.decimate(
+                prev_pos, prev_faces, target_faces=target
             )
             levels.append(
                 TexturedMesh(
-                    v_pos=jnp.asarray(vp, jnp.float32),
-                    t_pos_idx=jnp.asarray(fo, jnp.int32),
+                    v_pos=jnp.asarray(prev_pos, jnp.float32),
+                    t_pos_idx=jnp.asarray(prev_faces, jnp.int32),
                 )
             )
         used.append(f)
-    return LODChain(levels, used)
+    return LODChain(levels, used, bbox=bbox)
 
 
-def _screen_area_estimate(mesh: TexturedMesh, cam, height: int, width: int):
+def _screen_area_estimate(bbox, cam, height: int, width: int):
     """Expected covered pixels per view: project the mesh bbox corners and
     take half the clipped 2D-bbox area (the 0.5 factor approximates a
     roundish object inside its bbox). (n_views,) numpy."""
-    v = np.asarray(mesh.v_pos)
-    lo, hi = v.min(0), v.max(0)
+    lo, hi = bbox
     corners = np.array(
         [[x, y, z, 1.0] for x in (lo[0], hi[0]) for y in (lo[1], hi[1])
          for z in (lo[2], hi[2])],
@@ -166,7 +183,7 @@ def select_lod_level(
     the target, maximized over the view batch (one level per batched
     dispatch — static shapes). Falls back to the coarsest level when even
     it is sub-pixel dense."""
-    area = float(np.max(_screen_area_estimate(chain.levels[0], cam, height, width)))
+    area = float(np.max(_screen_area_estimate(chain.bbox, cam, height, width)))
     for li, mesh in enumerate(chain.levels):
         if area / max(int(mesh.num_faces), 1) >= target_px_per_tri:
             return li

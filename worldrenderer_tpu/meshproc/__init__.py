@@ -43,7 +43,8 @@ _lib_error: Optional[str] = None
 
 def _build() -> None:
     cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", _SO,
+        "g++", "-O3", "-march=native", "-fPIC", "-shared", "-std=c++17",
+        _SRC, "-o", _SO,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
