@@ -220,16 +220,13 @@ def texture(
             ((iy // bs) * nbx + ix // bs) * (bs * bs)
             + (iy % bs) * bs + (ix % bs)
         )
-        n_rows = qh_p * qw_p
     else:
         table = quad.reshape(quad.shape[0], qh * qw, 4 * c_ch)
         flat = iy * qw + ix  # (B, H, W)
-        n_rows = qh * qw
 
     def sample_quad(table_b, flat_b):
         return table_b[flat_b]  # (H, W, 4C)
 
-    del n_rows
     taps = jax.vmap(sample_quad, in_axes=(None if shared else 0, 0))(
         table[0] if shared else table, flat
     ).astype(jnp.float32)
