@@ -245,3 +245,47 @@ def test_kernel_unroll2_bit_identical(prec):
     np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
     np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
     np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))
+
+
+def test_chunk_slice_modes_bit_identical():
+    """The three chunk-window readers (sequential dynamic slices, windowed
+    gather, aligned-row-gather + barrel shift) must agree exactly — "shift"
+    is the default after winning the on-chip A/B by 16%."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.gbuffer import _chunk_windows, rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.integers(0, 10000, 20292), jnp.int32)
+    csrc = jnp.asarray(
+        np.concatenate([rng.integers(0, 20292 - 128, 64),
+                        [0, 20292 - 128, 1, 127, 128, 255]]), jnp.int32
+    )
+    ref = np.asarray(_chunk_windows(s, csrc, 128, "dynamic"))
+    for m in ("shift", "gather"):
+        np.testing.assert_array_equal(
+            ref, np.asarray(_chunk_windows(s, csrc, 128, m))
+        )
+
+    verts, faces = make_grid_mesh(72)
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=35.0, distance=2.5, fovy_deg=50.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    v_nrm = jnp.ones((v_pos.shape[0], 3), jnp.float32)
+    a = rasterize_gbuffer(
+        pos_clip, tri, v_nrm, (160, 160),
+        FAST_TPU_CONFIG._replace(chunk_slice_mode="dynamic"),
+    )
+    b = rasterize_gbuffer(
+        pos_clip, tri, v_nrm, (160, 160),
+        FAST_TPU_CONFIG._replace(chunk_slice_mode="shift"),
+    )
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))

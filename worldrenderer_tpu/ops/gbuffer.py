@@ -187,6 +187,48 @@ def _gather_tile_rows_flat(
     return coeffs, used
 
 
+def _chunk_windows(
+    s_tri_pad: jnp.ndarray, csrc: jnp.ndarray, c: int, mode: str
+) -> jnp.ndarray:
+    """Read NCH c-length windows of the flat id list at arbitrary offsets.
+
+    "dynamic": vmapped 1-D dynamic slices. PROFILED as the 2nd-largest
+    non-kernel device cost of the headline frame: XLA lowers the vmap to a
+    SEQUENTIAL while loop (~0.85 us per window x ~285 windows/view).
+    "shift": TWO aligned row gathers (rows q, q+1 of the c-column reshape)
+    + an arithmetic barrel shift by (csrc mod c) — fully vectorized, no
+    loop, no per-window op. "gather": one lax.gather of c-length windows
+    (whatever the TPU gather emitter makes of it)."""
+    if mode == "dynamic":
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice(s_tri_pad, (s,), (c,))
+        )(csrc)
+    if mode == "gather":
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+        )
+        return jax.lax.gather(
+            s_tri_pad, csrc[:, None], dn, slice_sizes=(c,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+    if mode != "shift":
+        raise ValueError(f"unknown chunk_slice_mode {mode!r}")
+    ln = s_tri_pad.shape[0]
+    pad = (-ln) % c + c  # round up to rows AND guarantee row q+1 exists
+    s2d = jnp.concatenate(
+        [s_tri_pad, jnp.full((pad,), s_tri_pad[-1], s_tri_pad.dtype)]
+    ).reshape(-1, c)
+    q = csrc // c
+    r = csrc % c
+    x = jnp.concatenate([s2d[q], s2d[q + 1]], axis=1)  # (NCH, 2c)
+    # barrel shift left by r (r < c): after the loop, x[:, :c] == window
+    b = 1
+    while b < c:
+        x = jnp.where((r[:, None] & b) != 0, jnp.roll(x, -b, axis=1), x)
+        b *= 2
+    return x[:, :c]
+
+
 def _flat_chunks(
     setup,
     tri: jnp.ndarray,
@@ -199,6 +241,7 @@ def _flat_chunks(
     c: int,
     l_cap: int,
     a3=None,
+    chunk_slice_mode: str = "dynamic",
 ):
     """Build the 128-aligned chunked flat coefficient lists consumed by the
     DMA kernel (gbuffer_pallas.gbuffer_tiles_dma).
@@ -257,9 +300,7 @@ def _flat_chunks(
     )
     ccount = counts_c[chunk_tile] - chunk_rank * c  # live lanes in chunk
 
-    ids2d = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(s_tri_pad, (s,), (c,))
-    )(csrc)  # (NCH, c)
+    ids2d = _chunk_windows(s_tri_pad, csrc, c, chunk_slice_mode)  # (NCH, c)
     lane = jnp.arange(c, dtype=jnp.int32)[None, :]
     live2d = lane < ccount[:, None]
     flat_ids = jnp.where(live2d, ids2d, t_total).reshape(l_cap)
@@ -650,7 +691,7 @@ def _gbuffer_dma_batched(
         )
         return _flat_chunks(
             setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,
-            a3=a3,
+            a3=a3, chunk_slice_mode=config.chunk_slice_mode,
         )
 
     planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos, v_all)

@@ -119,6 +119,14 @@ class RasterizerConfig(NamedTuple):
     # safest), "high" (3-pass bf16, ~fp32 accuracy, faster). Setup einsums
     # always run at highest — their pre-rebase magnitudes are unbounded.
     dot_precision: str = "highest"
+    # How the DMA-path prep reads each output chunk's c-length window of
+    # the sorted flat id list (arbitrary offsets): "shift" = two aligned
+    # row gathers + arithmetic barrel shift (vectorized; DEFAULT — won the
+    # interleaved A/B by 16%, every pair >= +14%), "dynamic" = vmapped 1-D
+    # dynamic slices (lowers to a SEQUENTIAL device loop, ~0.85 us/window —
+    # profiled as a top-3 frame cost), "gather" = windowed lax.gather
+    # (measured ~neutral vs dynamic). All three are bit-identical.
+    chunk_slice_mode: str = "shift"
     # DMA-kernel chunk unroll: 2 processes chunk pairs with independent
     # compare/reduce chains (more ILP, half the loop/DMA bookkeeping) and an
     # odd-chunk tail; 1 is the classic double-buffered loop. Measured
