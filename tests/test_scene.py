@@ -258,3 +258,41 @@ def test_load_reference_camera_fixture():
         REFERENCE_CAMERA_JSON, num_views=100, t_position=0.2, t_rotation=0.5
     )
     assert 1 <= len(keys) <= 100 and keys[0] == 0
+
+
+def test_video_frame_selection_semantics(tmp_path):
+    """load_frames keeps frame k iff k % step == 0 and k+offset is a valid
+    index (reference video.py:31-54's gating), capped at max_frames;
+    export_frames writes source frame i+offset as output i."""
+    cv2 = pytest.importorskip("cv2")
+    from worldrenderer_tpu.scene.video import export_frames, load_frames
+
+    path = str(tmp_path / "clip.avi")
+    wr = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (32, 32)
+    )
+    n = 12
+    for k in range(n):
+        wr.write(np.full((32, 32, 3), k * 20, np.uint8))
+    wr.release()
+    if not cv2.VideoCapture(path).isOpened():
+        pytest.skip("no MJPG codec in this cv2 build")
+
+    def levels(frames):
+        return np.round(frames.mean(axis=(1, 2, 3)) * 255 / 20).astype(int)
+
+    got = levels(load_frames(path, frame_offset=0, frame_step=3))
+    np.testing.assert_array_equal(got, [0, 3, 6, 9])
+    # offset -2: frames 0,1 have k+offset < 0 and are dropped off the grid
+    got = levels(load_frames(path, frame_offset=-2, frame_step=3))
+    np.testing.assert_array_equal(got, [3, 6, 9])
+    # positive offset drops the tail; max_frames caps the kept count
+    got = levels(load_frames(path, frame_offset=4, frame_step=2, max_frames=3))
+    np.testing.assert_array_equal(got, [0, 2, 4])
+
+    out = tmp_path / "frames"
+    export_frames(path, out, frame_offset=3)
+    names = sorted(p.name for p in out.iterdir())
+    assert names[0] == "frame_00000.png" and len(names) == n - 3
+    img = cv2.imread(str(out / "frame_00002.png"))
+    assert abs(int(img.mean()) - 5 * 20) <= 2

@@ -149,3 +149,113 @@ def test_render_auto_mip_reduces_minification_aliasing():
     # box-filtered checker converges to 0.5; auto_mip must sit far closer
     assert abs(a_mip.mean() - 0.5) < 0.05
     assert np.abs(a_mip - 0.5).mean() < 0.5 * np.abs(a_lin - 0.5).mean()
+
+
+# --- cube-map sampling (boundary_mode='cube') ---------------------------
+# The reference never exercises cube mode (its nvdiffrast wrapper only
+# passes wrap/clamp, render.py:83-120); this closes the capability gap
+# with the underlying library. Faces follow the OpenGL order/orientation.
+
+
+def _cube_bake(size, fn):
+    """Bake a smooth direction field fn(n)->(C,) into a (1,6,S,S,C) cube."""
+    from worldrenderer_tpu.ops.texture import _cube_face_dirs
+
+    face = np.repeat(np.arange(6), size * size)
+    jj, ii = np.meshgrid(np.arange(size), np.arange(size), indexing="xy")
+    sc = np.tile(((jj.ravel() + 0.5) / size) * 2 - 1, 6)
+    tc = np.tile(((ii.ravel() + 0.5) / size) * 2 - 1, 6)
+    d = _cube_face_dirs(face, sc, tc)
+    n = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    vals = fn(n).astype(np.float32)
+    return vals.reshape(6, size, size, -1)[None]
+
+
+def _smooth_field(n):
+    return np.stack(
+        [np.sin(2.1 * n[..., 0] + 0.3), np.cos(1.7 * n[..., 1]),
+         n[..., 2] * 0.5 + 0.5], -1
+    )
+
+
+def test_cube_linear_matches_field_including_edges(rng):
+    size = 32
+    tex = jnp.asarray(_cube_bake(size, _smooth_field))
+    d = rng.normal(size=(1, 17, 13, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    # force a block of directions to hug face edges (the seam-critical set)
+    edge = np.stack(
+        [np.ones(64), np.linspace(-1, 1, 64),
+         np.where(np.arange(64) % 2 == 0, 1.0, -1.0) * (1 - 1e-4)], -1
+    ).astype(np.float32)
+    d[0, :4, :, :] = (
+        edge / np.linalg.norm(edge, axis=-1, keepdims=True)
+    ).reshape(4, 16, 3)[:, :13]
+    out = np.asarray(texture(tex, jnp.asarray(d), boundary_mode="cube"))
+    want = _smooth_field(d.astype(np.float64))
+    assert np.abs(out - want).max() < 2e-2
+
+
+def test_cube_exact_at_texel_centers(rng):
+    from worldrenderer_tpu.ops.texture import _cube_face_dirs
+
+    size = 16
+    tex = rng.normal(size=(1, 6, size, size, 3)).astype(np.float32)
+    face = np.repeat(np.arange(6), 4)
+    iy = rng.integers(0, size, 24)
+    ix = rng.integers(0, size, 24)
+    sc = ((ix + 0.5) / size) * 2 - 1
+    tc = ((iy + 0.5) / size) * 2 - 1
+    d = _cube_face_dirs(face, sc, tc).astype(np.float32).reshape(1, 4, 6, 3)
+    out = np.asarray(
+        texture(jnp.asarray(tex), jnp.asarray(d), boundary_mode="cube")
+    ).reshape(24, 3)
+    np.testing.assert_allclose(out, tex[0, face, iy, ix], rtol=0, atol=1e-5)
+
+
+def test_cube_nearest_picks_face(rng):
+    size = 8
+    tex = np.zeros((1, 6, size, size, 1), np.float32)
+    tex[0, :, :, :, 0] = np.arange(6)[:, None, None]
+    d = rng.normal(size=(2, 5, 5, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.asarray(
+        texture(
+            jnp.asarray(tex), jnp.asarray(d), boundary_mode="cube",
+            filter_mode="nearest",
+        )
+    )[..., 0]
+    ax = np.argmax(np.abs(d), axis=-1)
+    sign = np.take_along_axis(d, ax[..., None], -1)[..., 0] < 0
+    np.testing.assert_array_equal(out, ax * 2 + sign)
+
+
+def test_cube_seam_continuity(rng):
+    # walk across the +x/+z edge; consecutive bilinear samples of a random
+    # texture must not jump more than one intra-face texel step does
+    size = 16
+    tex = jnp.asarray(rng.normal(size=(1, 6, size, size, 2)).astype(np.float32))
+    t = np.linspace(-0.2, 0.2, 401)
+    d = np.stack([1 + t, 0.1 * np.ones_like(t), 1 - t], -1).astype(np.float32)
+    out = np.asarray(
+        texture(tex, jnp.asarray(d).reshape(1, 1, -1, 3), boundary_mode="cube")
+    )[0, 0]
+    steps = np.abs(np.diff(out, axis=0)).max(-1)
+    # the path crosses ~ size/2 texel boundaries over 400 samples; each step
+    # covers << 1 texel so per-step deltas stay well under the texel range
+    assert steps.max() < 0.35 * np.abs(np.asarray(tex)).max()
+
+
+@pytest.mark.parametrize("mode", ["flat1d", "block8", "shard4"])
+@pytest.mark.parametrize("shared", [True, False])
+def test_gather_modes_bit_identical(rng, mode, shared):
+    """Every gather lowering is the same function — modes exist only because
+    XLA's TPU gather emitter is shape-dependent (non-monotonic in table
+    size); outputs must match the default bit-for-bit."""
+    tex = rng.normal(size=(1 if shared else 3, 37, 29, 3)).astype(np.float32)
+    uv = rng.uniform(-0.2, 1.2, size=(3, 11, 13, 2)).astype(np.float32)
+    base = np.asarray(texture(jnp.asarray(tex), jnp.asarray(uv)))
+    got = np.asarray(
+        texture(jnp.asarray(tex), jnp.asarray(uv), gather_mode=mode)
+    )
+    np.testing.assert_array_equal(got, base)

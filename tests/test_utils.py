@@ -106,3 +106,26 @@ def test_saver_video_assembly(tmp_path, rng):
         s.save_rgb_image(f"seq/frame_{i:03d}.png", rng.random((16, 16, 3)).astype(np.float32))
     p = s.save_img_sequence("anim", "seq", r"frame_\d+\.png", save_format="gif", fps=5)
     assert os.path.exists(p) and p.endswith(".gif")
+
+
+def test_updateable_recursion_children_first():
+    """do_update_step visits instance-attribute children before self and
+    skips underscore-prefixed attributes (reference base.py:22-66 walk)."""
+    from worldrenderer_tpu.utils.base import BaseObject, update_if_possible
+
+    calls = []
+
+    class Child(BaseObject):
+        def update_step(self, epoch, step, on_load_weights=False):
+            calls.append(("child", epoch, step))
+
+    class Parent(BaseObject):
+        def configure(self):
+            self.child = Child()
+            self._hidden = Child()  # private: must not be walked
+
+        def update_step(self, epoch, step, on_load_weights=False):
+            calls.append(("parent", epoch, step))
+
+    update_if_possible(Parent(), 2, 7)
+    assert calls == [("child", 2, 7), ("parent", 2, 7)]

@@ -18,6 +18,7 @@ it replaces).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -57,6 +58,61 @@ def _quad_table(tex: jnp.ndarray, boundary_mode: str):
     )
 
 
+def _gather_rows(table, flat, shared, mode):
+    """The one hot gather of the linear path: rows ``flat`` (B, H, W) out of
+    ``table`` (B, R, cols) (or (1, R, cols) shared). ``mode`` selects the
+    lowering — XLA's TPU gather emitter is shape-dependent and measured
+    NON-monotonic in table size (CLAUDE.md round-4 sweep), so equivalent
+    formulations can differ materially; A/B per shape with
+    tools/ab_gather_mode.py.
+
+    vmap     — per-view vmapped advanced indexing (the long-time default).
+    flat1d   — one 1-D index vector over a flattened (B*R) table.
+    block8   — gather 8-row blocks (8x fewer, 8x wider rows) + in-register
+               take_along_axis sub-row select.
+    shard4   — 4 quarter-table gathers + predicated merge (4x gather work,
+               each in a smaller-table regime).
+    """
+    if mode == "vmap":
+        def sample(table_b, flat_b):
+            return table_b[flat_b]
+
+        return jax.vmap(sample, in_axes=(None if shared else 0, 0))(
+            table[0] if shared else table, flat
+        )
+    b, h, w = flat.shape
+    r, cols = table.shape[1], table.shape[2]
+    if table.shape[0] == 1:
+        tab = table[0]
+    else:
+        flat = flat + jnp.arange(b, dtype=flat.dtype)[:, None, None] * r
+        tab = table.reshape(-1, cols)
+    if mode == "flat1d":
+        return tab[flat.reshape(-1)].reshape(b, h, w, cols)
+    if mode == "block8":
+        pad = (-tab.shape[0]) % 8
+        if pad:
+            tab = jnp.pad(tab, [(0, pad), (0, 0)])
+        blocks = tab.reshape(-1, 8 * cols)[flat // 8]  # (B, H, W, 8*cols)
+        sub = (flat % 8)[..., None, None]
+        return jnp.take_along_axis(
+            blocks.reshape(b, h, w, 8, cols), sub, axis=3
+        )[..., 0, :]
+    if mode == "shard4":
+        r4 = -(-tab.shape[0] // 4)
+        pad = r4 * 4 - tab.shape[0]
+        if pad:
+            tab = jnp.pad(tab, [(0, pad), (0, 0)])
+        shards = tab.reshape(4, r4, cols)
+        s = flat // r4
+        rm = flat % r4
+        out = shards[0][rm]
+        for k in range(1, 4):
+            out = jnp.where((s == k)[..., None], shards[k][rm], out)
+        return out
+    raise ValueError(f"unknown gather_mode {mode!r}")
+
+
 def _blend_taps(taps, fx, fy, c_ch, zero_masks=None):
     """Combine a fused quad gather's four taps with bilinear weights.
     ``zero_masks``: (in_x0, in_x1, in_y0, in_y1) per-tap validity for the
@@ -78,6 +134,183 @@ def _blend_taps(taps, fx, fy, c_ch, zero_masks=None):
         + taps[..., 2 * c_ch : 3 * c_ch] * w10
         + taps[..., 3 * c_ch : 4 * c_ch] * w11
     )
+
+
+# --- cube-map sampling -------------------------------------------------
+# OpenGL cube-map convention (face order +x,-x,+y,-y,+z,-z; per-face
+# (sc, tc) axes as in the GL spec table). nvdiffrast's boundary_mode='cube'
+# follows the same convention; the reference itself never exercises cube
+# mode (render.py:83-120 only passes wrap/clamp), so this exists purely to
+# close the capability gap with the underlying library.
+
+
+def _cube_face_dirs(face, sc, tc):
+    """Per-face direction vector for in-face coords (numpy, vectorized)."""
+    import numpy as np
+
+    one = np.ones_like(sc)
+    table = [
+        (one, -tc, -sc),      # +x
+        (-one, -tc, sc),      # -x
+        (sc, one, tc),        # +y
+        (sc, -one, -tc),      # -y
+        (sc, -tc, one),       # +z
+        (-sc, -tc, -one),     # -z
+    ]
+    out = np.empty(sc.shape + (3,), np.float64)
+    for f in range(6):
+        m = face == f
+        for a in range(3):
+            out[..., a][m] = table[f][a][m]
+    return out
+
+
+def _cube_lookup_np(d):
+    """direction -> (face, u, v) in numpy (used for static border maps)."""
+    import numpy as np
+
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = ~is_x & (ay >= az)
+    is_z = ~(is_x | is_y)
+    face = np.where(
+        is_x, np.where(x >= 0, 0, 1),
+        np.where(is_y, np.where(y >= 0, 2, 3), np.where(z >= 0, 4, 5)),
+    )
+    ma = np.where(is_x, ax, np.where(is_y, ay, az))
+    sc = np.select(
+        [face == 0, face == 1, face == 5],
+        [-z, z, -x],
+        default=x,
+    )
+    tc = np.select(
+        [face == 2, face == 3],
+        [z, -z],
+        default=-y,
+    )
+    return face, 0.5 * (sc / ma + 1.0), 0.5 * (tc / ma + 1.0)
+
+
+def _cube_lookup(d):
+    """direction -> (face int32, u, v) in jnp (per-pixel runtime lookup)."""
+    x, y, z = d[..., 0], d[..., 1], d[..., 2]
+    ax, ay, az = jnp.abs(x), jnp.abs(y), jnp.abs(z)
+    is_x = (ax >= ay) & (ax >= az)
+    is_y = ~is_x & (ay >= az)
+    face = jnp.where(
+        is_x, jnp.where(x >= 0, 0, 1),
+        jnp.where(is_y, jnp.where(y >= 0, 2, 3), jnp.where(z >= 0, 4, 5)),
+    ).astype(jnp.int32)
+    ma = jnp.maximum(jnp.maximum(ax, ay), az)
+    inv = 1.0 / jnp.maximum(ma, 1e-30)
+    sc = jnp.where(
+        face == 0, -z, jnp.where(face == 1, z, jnp.where(face == 5, -x, x))
+    )
+    tc = jnp.where(face == 2, z, jnp.where(face == 3, -z, -y))
+    return face, 0.5 * (sc * inv + 1.0), 0.5 * (tc * inv + 1.0)
+
+
+@functools.lru_cache(maxsize=8)
+def _cube_border_maps(size: int):
+    """Static source-texel maps for the one-texel seamless border.
+
+    For every border cell of every padded face, the direction of that
+    cell's texel center (|sc| or |tc| slightly beyond 1) resolves onto an
+    adjacent face; nearest-sampling that face fills the border so plain
+    bilinear inside the padded face becomes seamless across cube edges
+    (corner cells land on one of the three meeting faces — continuous
+    along edges, nvdiffrast's 3-texel corner average is approximated by
+    the nearest corner texel). Returns (dst_face, dst_row, dst_col,
+    src_face, src_iy, src_ix) int32 numpy arrays.
+    """
+    import numpy as np
+
+    s = size
+    rr, cc = np.meshgrid(np.arange(s + 2), np.arange(s + 2), indexing="ij")
+    border = (rr == 0) | (rr == s + 1) | (cc == 0) | (cc == s + 1)
+    r_b, c_b = rr[border], cc[border]
+    dst_face = np.repeat(np.arange(6), r_b.size)
+    r_all = np.tile(r_b, 6)
+    c_all = np.tile(c_b, 6)
+    sc = ((c_all - 1) + 0.5) / s * 2.0 - 1.0
+    tc = ((r_all - 1) + 0.5) / s * 2.0 - 1.0
+    d = _cube_face_dirs(dst_face, sc, tc)
+    src_face, u, v = _cube_lookup_np(d)
+    src_ix = np.clip(np.floor(u * s), 0, s - 1).astype(np.int32)
+    src_iy = np.clip(np.floor(v * s), 0, s - 1).astype(np.int32)
+    return (
+        dst_face.astype(np.int32), r_all.astype(np.int32),
+        c_all.astype(np.int32), src_face.astype(np.int32), src_iy, src_ix,
+    )
+
+
+def _cube_padded(tex):
+    """(B, 6, S, S, C) -> (B, 6, S+2, S+2, C) with seamless borders."""
+    s = tex.shape[2]
+    df, dr, dc, sf, sy, sx = _cube_border_maps(s)
+    padded = jnp.pad(tex, [(0, 0), (0, 0), (1, 1), (1, 1), (0, 0)])
+    return padded.at[:, df, dr, dc, :].set(tex[:, sf, sy, sx, :])
+
+
+def _texture_cube(tex, uv, filter_mode):
+    """Cube sampling: tex (B, 6, S, S, C), uv = directions (B, H, W, 3)."""
+    if tex.ndim != 5 or tex.shape[1] != 6 or tex.shape[2] != tex.shape[3]:
+        raise ValueError(
+            "cube sampling needs tex (B, 6, S, S, C) with square faces, "
+            f"got {tex.shape}"
+        )
+    if uv.shape[-1] != 3:
+        raise ValueError(f"cube sampling needs 3-D directions, got {uv.shape}")
+    if filter_mode not in ("nearest", "linear"):
+        raise NotImplementedError(
+            f"cube filter_mode {filter_mode!r} not supported (no cube mip)"
+        )
+    b = uv.shape[0]
+    s = tex.shape[2]
+    c_ch = tex.shape[4]
+    shared = tex.shape[0] == 1 and b > 1
+    face, u, v = _cube_lookup(uv)
+
+    if filter_mode == "nearest":
+        ix = jnp.clip(jnp.floor(u * s).astype(jnp.int32), 0, s - 1)
+        iy = jnp.clip(jnp.floor(v * s).astype(jnp.int32), 0, s - 1)
+        flat = (face * s + iy) * s + ix
+        table = tex.reshape(tex.shape[0], 6 * s * s, c_ch)
+
+        def g(t_b, f_b):
+            return t_b[f_b]
+
+        return jax.vmap(g, in_axes=(None if shared else 0, 0))(
+            table[0] if shared else table, flat
+        ).astype(jnp.float32)
+
+    x = u * s - 0.5
+    y = v * s - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0.astype(jnp.float32))[..., None]
+    fy = (y - y0.astype(jnp.float32))[..., None]
+    padded = _cube_padded(tex)  # (B, 6, S+2, S+2, C)
+    quad = _quad_table(
+        padded.reshape(tex.shape[0] * 6, s + 2, s + 2, c_ch), "clamp"
+    )  # (B*6, S+3, S+3, 4C): row (y, x) = 2x2 window at padded coord (y-1, x-1)
+    q = s + 3
+    table = quad.reshape(tex.shape[0], 6 * q * q, 4 * c_ch)
+    # u,v in [0,1] => x0 in [-1, S-1]; the 2x2 window anchored at seamless-
+    # padded coord x0+1 lives at quad row x0+2 (one extra +1 for the clamp
+    # ring _quad_table itself added) in [1, S+1].
+    ix = jnp.clip(x0 + 2, 1, s + 1)
+    iy = jnp.clip(y0 + 2, 1, s + 1)
+    flat = (face * q + iy) * q + ix
+
+    def g(t_b, f_b):
+        return t_b[f_b]
+
+    taps = jax.vmap(g, in_axes=(None if shared else 0, 0))(
+        table[0] if shared else table, flat
+    ).astype(jnp.float32)
+    return _blend_taps(taps, fx, fy, c_ch)
 
 
 def texture_construct_mip(
@@ -116,11 +349,16 @@ def texture(
     filter_mode: str = "linear",
     boundary_mode: str = "wrap",
     max_mip_level: Optional[int] = None,
+    gather_mode: str = "vmap",
 ) -> jnp.ndarray:
     """Sample a 2D texture.
 
     tex: (B, TH, TW, C) or (1, TH, TW, C) float32 (broadcast over batch).
-    uv:  (B, H, W, 2) float32 texture coordinates.
+        For boundary_mode='cube': (B, 6, S, S, C), OpenGL face order
+        +x,-x,+y,-y,+z,-z, square faces.
+    uv:  (B, H, W, 2) float32 texture coordinates. For cube mode:
+        (B, H, W, 3) direction vectors (need not be normalized);
+        bilinear cube sampling is seamless across face edges.
     uv_da: (B, H, W, 4) image-space uv derivatives (du/dX, du/dY, dv/dX,
         dv/dY) from :func:`rasterize_db` — drives mip level selection.
     mip_level_bias: (B, H, W) additive mip level (or the level itself when
@@ -150,6 +388,8 @@ def texture(
             if (uv_da is not None or mip_level_bias is not None)
             else "linear"
         )
+    if boundary_mode == "cube":
+        return _texture_cube(tex, uv, filter_mode)
     if filter_mode in ("linear-mipmap-nearest", "linear-mipmap-linear"):
         return _texture_mip(
             tex, uv, uv_da, mip_level_bias, mip, filter_mode, boundary_mode,
@@ -224,12 +464,7 @@ def texture(
         table = quad.reshape(quad.shape[0], qh * qw, 4 * c_ch)
         flat = iy * qw + ix  # (B, H, W)
 
-    def sample_quad(table_b, flat_b):
-        return table_b[flat_b]  # (H, W, 4C)
-
-    taps = jax.vmap(sample_quad, in_axes=(None if shared else 0, 0))(
-        table[0] if shared else table, flat
-    ).astype(jnp.float32)
+    taps = _gather_rows(table, flat, shared, gather_mode).astype(jnp.float32)
     zero_masks = None
     if boundary_mode == "zero":
         # Far-out taps landed on the zero border already; these masks kill

@@ -121,6 +121,7 @@ def _render_fused(
     tangent_background,
     texture_override,
     texture_filter_mode: str,
+    texture_gather_mode: str,
     raster_config: RasterizerConfig,
 ) -> "RenderOutput":
     """Gather-free fast path: all requested channels ride attribute planes
@@ -222,7 +223,10 @@ def _render_fused(
                 tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto"
             )
         else:
-            gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
+            gb_rgb_fg = texture(
+                tex[None], tex_c, filter_mode=texture_filter_mode,
+                gather_mode=texture_gather_mode,
+            )
         gb_rgb = jnp.where(
             mask[..., None], gb_rgb_fg, jnp.ones_like(gb_rgb_fg) * attr_background
         )
@@ -260,6 +264,7 @@ def render(
     tangent_background: Union[float, jnp.ndarray] = 0.0,
     texture_override: Optional[jnp.ndarray] = None,
     texture_filter_mode: str = "linear",
+    texture_gather_mode: str = "vmap",
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
 ) -> RenderOutput:
     """Render per-view G-buffers (reference render.py:220-286).
@@ -304,6 +309,7 @@ def render(
             tangent_background=tangent_background,
             texture_override=texture_override,
             texture_filter_mode=texture_filter_mode,
+            texture_gather_mode=texture_gather_mode,
             raster_config=raster_config,
         )
 
@@ -333,7 +339,10 @@ def render(
                 tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto"
             )
         else:
-            gb_rgb_fg = texture(tex[None], tex_c, filter_mode=texture_filter_mode)
+            gb_rgb_fg = texture(
+                tex[None], tex_c, filter_mode=texture_filter_mode,
+                gather_mode=texture_gather_mode,
+            )
         gb_rgb_bg = jnp.ones_like(gb_rgb_fg) * attr_background
         gb_rgb = jnp.where(mask[..., None], gb_rgb_fg, gb_rgb_bg)
         if antialias_attr:

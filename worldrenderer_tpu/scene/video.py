@@ -15,55 +15,67 @@ import numpy as np
 __all__ = ["export_frames", "load_frames", "save_frames", "save_depth_frames_16bit"]
 
 
-def export_frames(video_path, output_dir, frame_offset: int = 0) -> None:
-    """Dump every video frame to PNG with an optional index offset
-    (reference video.py:7-29)."""
+def _open_video(video_path):
     import cv2
 
     cap = cv2.VideoCapture(str(video_path))
     if not cap.isOpened():
         raise RuntimeError(f"Failed to open video: {video_path}")
-    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    return cap, int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+
+def export_frames(video_path, output_dir, frame_offset: int = 0) -> None:
+    """Dump video frames to ``frame_{i:05d}.png``, where output index i maps
+    to source frame i + frame_offset; pairs falling outside the video are
+    skipped (output semantics of reference video.py:7-29).
+
+    The valid output indices form one contiguous run, so a single seek to
+    the first source frame plus sequential reads replaces per-frame seeking.
+    """
+    import cv2
+
+    cap, total = _open_video(video_path)
+    # i valid  <=>  0 <= i < total  and  0 <= i + frame_offset < total
+    first = max(0, -frame_offset)
+    last = min(total, total - frame_offset)  # exclusive
     os.makedirs(output_dir, exist_ok=True)
-    for frame_idx in range(total):
-        target = frame_idx + frame_offset
-        if target < 0 or target >= total:
-            continue
-        cap.set(cv2.CAP_PROP_POS_FRAMES, target)
+    if first + frame_offset > 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, first + frame_offset)
+    for i in range(first, last):
         ok, frame = cap.read()
-        if not ok:
-            continue
-        out_path = Path(output_dir) / f"frame_{frame_idx:05d}.png"
-        cv2.imwrite(str(out_path), frame)
+        if ok:
+            cv2.imwrite(str(Path(output_dir) / f"frame_{i:05d}.png"), frame)
     cap.release()
 
 
 def load_frames(
     video_path, frame_offset: int = -1, frame_step: int = 1, max_frames: int = -1
 ) -> np.ndarray:
-    """Load video frames as (N, H, W, 3) float32 in [0, 1]
-    (reference video.py:31-54)."""
+    """Load video frames as (N, H, W, 3) float32 in [0, 1].
+
+    Keeps frame k iff k is a multiple of ``frame_step`` AND k + frame_offset
+    is a valid frame index, up to ``max_frames`` kept frames — the exact
+    selection of reference video.py:31-54 (note the offset *gates* which
+    frames are kept; the pixel data is always frame k itself). The wanted
+    index set is computed up front and frames are read sequentially.
+    """
     import cv2
 
-    cap = cv2.VideoCapture(str(video_path))
-    if not cap.isOpened():
-        raise RuntimeError(f"Failed to open video: {video_path}")
-    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    cap, total = _open_video(video_path)
+    wanted = {
+        k
+        for k in range(0, total, max(1, frame_step))
+        if 0 <= k + frame_offset < total
+    }
+    if max_frames > 0:
+        wanted = set(sorted(wanted)[:max_frames])
     frames = []
-    idx = 0
-    while True:
+    for k in range(max(wanted) + 1 if wanted else 0):
         ok, frame = cap.read()
         if not ok:
             break
-        target = idx + frame_offset
-        if target < 0 or target >= total:
-            idx += 1
-            continue
-        if idx % frame_step == 0:
+        if k in wanted:
             frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-            if 0 < max_frames <= len(frames):
-                break
-        idx += 1
     cap.release()
     if not frames:
         raise RuntimeError("No frames loaded from video.")

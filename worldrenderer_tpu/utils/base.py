@@ -35,34 +35,35 @@ class Configurable:
 
 
 class Updateable:
-    """Recursive per-step update hooks (reference base.py:22-66)."""
+    """Recursive per-step update hooks (semantics of reference
+    base.py:22-66: children first, then self, public attributes only).
+
+    Child discovery walks the *instance* dict (``vars``) rather than the
+    full attribute surface: in this framework components are always plain
+    instance attributes (there is no nn.Module registry populating class
+    attributes), so ``vars`` finds exactly the same children without
+    triggering property getters. Subclasses with exotic storage can
+    override :meth:`updateable_children`.
+    """
+
+    def updateable_children(self):
+        children = vars(self) if hasattr(self, "__dict__") else {}
+        return [
+            child
+            for name, child in children.items()
+            if not name.startswith("_") and isinstance(child, Updateable)
+        ]
 
     def do_update_step(
         self, epoch: int, global_step: int, on_load_weights: bool = False
     ):
-        for attr in self.__dir__():
-            if attr.startswith("_"):
-                continue
-            try:
-                module = getattr(self, attr)
-            except Exception:
-                continue
-            if isinstance(module, Updateable):
-                module.do_update_step(
-                    epoch, global_step, on_load_weights=on_load_weights
-                )
+        for child in self.updateable_children():
+            child.do_update_step(epoch, global_step, on_load_weights=on_load_weights)
         self.update_step(epoch, global_step, on_load_weights=on_load_weights)
 
     def do_update_step_end(self, epoch: int, global_step: int):
-        for attr in self.__dir__():
-            if attr.startswith("_"):
-                continue
-            try:
-                module = getattr(self, attr)
-            except Exception:
-                continue
-            if isinstance(module, Updateable):
-                module.do_update_step_end(epoch, global_step)
+        for child in self.updateable_children():
+            child.do_update_step_end(epoch, global_step)
         self.update_step_end(epoch, global_step)
 
     def update_step(self, epoch: int, global_step: int, on_load_weights: bool = False):
