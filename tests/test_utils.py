@@ -129,3 +129,44 @@ def test_updateable_recursion_children_first():
 
     update_if_possible(Parent(), 2, 7)
     assert calls == [("child", 2, 7), ("parent", 2, 7)]
+
+
+def test_logging_handler_micro_api():
+    """Handler add/remove + default-handler toggle + explicit format
+    (reference logging.py:183-264 contract)."""
+    import io
+    import logging as pylog
+
+    from worldrenderer_tpu.utils import logging as wlog
+
+    logger = wlog.get_logger("handler_test")
+    buf = io.StringIO()
+    custom = pylog.StreamHandler(buf)
+    wlog.add_handler(custom)
+    try:
+        wlog.set_verbosity_info()
+        wlog.disable_default_handler()
+        logger.info("captured-line")
+        assert "captured-line" in buf.getvalue()
+
+        wlog.enable_explicit_format()
+        logger.info("formatted-line")
+        assert ">> formatted-line" in buf.getvalue()
+        wlog.reset_format()
+        logger.info("plain-line")
+        assert ">> plain-line" not in buf.getvalue()
+
+        wlog.enable_default_handler()
+        root = wlog.get_logger()
+        assert sum(1 for _ in root.handlers) >= 2
+        assert sorted(wlog.get_log_levels_dict())[0] == "critical"
+
+        wlog.disable_propagation()
+        assert root.propagate is False
+        wlog.enable_propagation()
+        assert root.propagate is True
+        wlog.disable_propagation()
+    finally:
+        wlog.remove_handler(custom)
+        wlog.set_verbosity_warning()
+        assert custom not in wlog.get_logger().handlers

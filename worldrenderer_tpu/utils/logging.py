@@ -22,6 +22,15 @@ __all__ = [
     "set_verbosity_info",
     "set_verbosity_warning",
     "set_verbosity_error",
+    "disable_default_handler",
+    "enable_default_handler",
+    "add_handler",
+    "remove_handler",
+    "disable_propagation",
+    "enable_propagation",
+    "enable_explicit_format",
+    "reset_format",
+    "get_log_levels_dict",
     "disable_progress_bar",
     "enable_progress_bar",
     "is_progress_bar_enabled",
@@ -125,6 +134,71 @@ def set_verbosity_warning() -> None:
 
 def set_verbosity_error() -> None:
     set_verbosity(logging.ERROR)
+
+
+def get_log_levels_dict() -> dict:
+    return dict(_LOG_LEVELS)
+
+
+def disable_default_handler() -> None:
+    """Detach the library's stderr handler (keep custom handlers active).
+
+    Handler micro-API contract: mvadapter/utils/logging.py:183-264."""
+    _configure_root()
+    assert _default_handler is not None
+    _root_logger().removeHandler(_default_handler)
+
+
+def enable_default_handler() -> None:
+    _configure_root()
+    assert _default_handler is not None
+    root = _root_logger()
+    if _default_handler not in root.handlers:
+        root.addHandler(_default_handler)
+
+
+def add_handler(handler: logging.Handler) -> None:
+    """Attach a custom handler to the library root logger."""
+    _configure_root()
+    assert handler is not None
+    _root_logger().addHandler(handler)
+
+
+def remove_handler(handler: logging.Handler) -> None:
+    _configure_root()
+    assert handler is not None and handler in _root_logger().handlers
+    _root_logger().removeHandler(handler)
+
+
+def disable_propagation() -> None:
+    _configure_root()
+    _root_logger().propagate = False
+
+
+def enable_propagation() -> None:
+    """Let library records also flow to the process root logger. Pair with
+    ``disable_default_handler`` to avoid double logging."""
+    _configure_root()
+    _root_logger().propagate = True
+
+
+def enable_explicit_format() -> None:
+    """Timestamped explicit format on every current library handler."""
+    _configure_root()
+    fmt = logging.Formatter(
+        "[%(levelname)s|%(filename)s:%(lineno)s] %(asctime)s >> %(message)s"
+    )
+    for handler in _root_logger().handlers:
+        handler.setFormatter(fmt)
+
+
+def reset_format() -> None:
+    _configure_root()
+    default_fmt = logging.Formatter("[%(levelname)s|%(name)s] %(message)s")
+    for handler in _root_logger().handlers:
+        handler.setFormatter(
+            default_fmt if handler is _default_handler else None
+        )
 
 
 def disable_progress_bar() -> None:
