@@ -259,3 +259,98 @@ def test_gather_modes_bit_identical(rng, mode, shared):
         texture(jnp.asarray(tex), jnp.asarray(uv), gather_mode=mode)
     )
     np.testing.assert_array_equal(got, base)
+
+
+@pytest.mark.parametrize("boundary_mode", ["wrap", "clamp", "zero"])
+@pytest.mark.parametrize("gather_mode", ["vmap", "block8"])
+def test_pack_u8_bit_identical_on_quantized(rng, boundary_mode, gather_mode):
+    """pack_mode='u8' gathers the 2x2 taps as bit-packed uint32 words
+    (3 per row instead of 12 f32 columns). For 255-quantized textures
+    (image-file sources) the unpacked taps are bit-identical to the f32
+    quad table, so the blended output matches bit-for-bit."""
+    q = rng.integers(0, 256, size=(2, 23, 31, 3))
+    tex = (q.astype(np.float32) / 255.0).astype(np.float32)
+    uv = rng.uniform(-0.2, 1.2, size=(2, 9, 17, 2)).astype(np.float32)
+    base = np.asarray(
+        texture(jnp.asarray(tex), jnp.asarray(uv), boundary_mode=boundary_mode)
+    )
+    got = np.asarray(
+        texture(
+            jnp.asarray(tex), jnp.asarray(uv), boundary_mode=boundary_mode,
+            pack_mode="u8", gather_mode=gather_mode,
+        )
+    )
+    np.testing.assert_array_equal(got, base)
+
+
+def test_pack_u8_single_channel_and_shared(rng):
+    q = rng.integers(0, 256, size=(1, 16, 16, 1))
+    tex = (q.astype(np.float32) / 255.0).astype(np.float32)
+    uv = rng.uniform(0, 1, size=(3, 7, 5, 2)).astype(np.float32)
+    base = np.asarray(texture(jnp.asarray(tex), jnp.asarray(uv)))
+    got = np.asarray(
+        texture(jnp.asarray(tex), jnp.asarray(uv), pack_mode="u8")
+    )
+    np.testing.assert_array_equal(got, base)
+
+
+def test_pack_u8_through_render():
+    """texture_pack_mode threads through render() on both raster paths."""
+    import jax
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import RasterizerConfig
+    from worldrenderer_tpu.render import render
+
+    rng = np.random.default_rng(3)
+    verts, faces = make_grid_mesh(8, extent=1.0)
+    uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
+    q = rng.integers(0, 256, size=(32, 32, 3))
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(q, jnp.float32) / 255.0,
+    )
+    cam = get_camera(
+        elevation_deg=30.0, distance=2.5, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    for backend in ("fused_xla", "xla"):
+        cfg = RasterizerConfig(backend=backend)
+        base = render(mesh, cam, 48, 48, render_attr=True, raster_config=cfg)
+        got = render(
+            mesh, cam, 48, 48, render_attr=True, raster_config=cfg,
+            texture_pack_mode="u8",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got.attr), np.asarray(base.attr)
+        )
+
+
+def test_pack_u8_mip_trilinear_identical_on_quantized(rng):
+    """pack_mode='u8' on the mip path: every level 255-quantized +
+    byte-packed. Passing an explicitly quantized mip stack makes it
+    bit-identical to the f32 packed-row table."""
+    from worldrenderer_tpu.ops.texture import texture_construct_mip
+
+    q = rng.integers(0, 256, size=(1, 32, 32, 3))
+    tex = jnp.asarray(q.astype(np.float32) / 255.0)
+    mip_q = [
+        jnp.round(m * 255.0) / 255.0 for m in texture_construct_mip(tex)
+    ]
+    uv = jnp.asarray(rng.uniform(0, 1, size=(2, 9, 9, 2)), jnp.float32)
+    lvl = jnp.asarray(
+        rng.uniform(0, len(mip_q), size=(2, 9, 9)), jnp.float32
+    )
+    base = np.asarray(
+        texture(tex, uv, mip_level_bias=lvl, mip=mip_q,
+                filter_mode="linear-mipmap-linear")
+    )
+    got = np.asarray(
+        texture(tex, uv, mip_level_bias=lvl, mip=mip_q,
+                filter_mode="linear-mipmap-linear", pack_mode="u8")
+    )
+    np.testing.assert_array_equal(got, base)

@@ -46,12 +46,15 @@ def main():
     )
     uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
     t = (np.indices((1024, 1024)).sum(0) // 64 % 2).astype(np.float32)
+    # 255-quantize the checker (image-file semantics) so pack_mode='u8'
+    # runners produce the SAME checksum as the f32 table runners.
+    checker = np.round(np.stack([t, 1 - t, t * 0 + 0.5], -1) * 255) / 255
     mesh = TexturedMesh(
         v_pos=jnp.asarray(verts, jnp.float32),
         t_pos_idx=jnp.asarray(faces, jnp.int32),
         v_tex=jnp.asarray(uv, jnp.float32),
         t_tex_idx=jnp.asarray(faces, jnp.int32),
-        texture=jnp.stack([t, 1 - t, t * 0 + 0.5], -1),
+        texture=jnp.asarray(checker, jnp.float32),
     )
     cam = get_camera(
         elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=N_VIEWS,
@@ -64,10 +67,14 @@ def main():
 
     runners = {}
     for name in args.modes.split(","):
+        # "u8:<gather_mode>" = byte-packed quad table + that gather mode.
+        pack, gname = (
+            name.split(":", 1) if ":" in name else ("none", name)
+        )
         render_fn = functools.partial(
             render, height=res, width=res, render_attr=True,
             render_depth=True, render_normal=True, raster_config=cfg,
-            texture_gather_mode=name,
+            texture_gather_mode=gname, texture_pack_mode=pack,
         )
 
         def run(mesh, cam, seed, render_fn=render_fn):

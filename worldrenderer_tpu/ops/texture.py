@@ -113,6 +113,37 @@ def _gather_rows(table, flat, shared, mode):
     raise ValueError(f"unknown gather_mode {mode!r}")
 
 
+def _pack_u8_words(quad_u8):
+    """(B, QH, QW, K) uint8 -> (B, QH*QW, ceil(K/4)) uint32, little-endian
+    byte order within each word. Shrinks the gathered row 4x in element
+    count: the TPU gather emitter's cost scales with gathered *elements*
+    (not bytes) in the coherent-access regime, so 12 u8 taps as 3 words
+    beat 12 f32 columns (A/B per shape; see texture() pack_mode)."""
+    b, qh, qw, k = quad_u8.shape
+    kw = -(-k // 4)
+    if k % 4:
+        quad_u8 = jnp.pad(quad_u8, [(0, 0)] * 3 + [(0, kw * 4 - k)])
+    w = quad_u8.reshape(b, qh * qw, kw, 4).astype(jnp.uint32)
+    words = (
+        w[..., 0]
+        | (w[..., 1] << 8)
+        | (w[..., 2] << 16)
+        | (w[..., 3] << 24)
+    )
+    return words  # (B, R, kw) uint32
+
+
+def _unpack_u8_words(words, k):
+    """Inverse of :func:`_pack_u8_words` on gathered rows:
+    (..., KW) uint32 -> (..., K) float32 in [0, 1] (texel = byte / 255)."""
+    shifts = jnp.asarray([0, 8, 16, 24], jnp.uint32)
+    bytes_ = (words[..., None] >> shifts) & jnp.uint32(0xFF)
+    flat = bytes_.reshape(*words.shape[:-1], words.shape[-1] * 4)
+    # IEEE division (not reciprocal-multiply): byte / 255.0 must be
+    # bit-identical to the caller's own v = q / 255 quantization.
+    return flat[..., :k].astype(jnp.float32) / jnp.float32(255.0)
+
+
 def _blend_taps(taps, fx, fy, c_ch, zero_masks=None):
     """Combine a fused quad gather's four taps with bilinear weights.
     ``zero_masks``: (in_x0, in_x1, in_y0, in_y1) per-tap validity for the
@@ -350,6 +381,7 @@ def texture(
     boundary_mode: str = "wrap",
     max_mip_level: Optional[int] = None,
     gather_mode: str = "vmap",
+    pack_mode: str = "none",
 ) -> jnp.ndarray:
     """Sample a 2D texture.
 
@@ -393,7 +425,7 @@ def texture(
     if filter_mode in ("linear-mipmap-nearest", "linear-mipmap-linear"):
         return _texture_mip(
             tex, uv, uv_da, mip_level_bias, mip, filter_mode, boundary_mode,
-            max_mip_level,
+            max_mip_level, pack_mode,
         )
     b = uv.shape[0]
     th, tw = tex.shape[1], tex.shape[2]
@@ -430,7 +462,26 @@ def texture(
     fx = (x - x0.astype(jnp.float32))[..., None]
     fy = (y - y0.astype(jnp.float32))[..., None]
 
-    quad = _quad_table(tex, boundary_mode)
+    if pack_mode == "u8":
+        # Byte-packed quad table for 255-quantized textures (image-file
+        # sources): each gathered row carries the 2x2 taps as ceil(4C/4)
+        # uint32 words instead of 4C f32 columns. EXACT iff every texel is
+        # k/255 (uint8 image data); callers with synthetic float textures
+        # must quantize first. 'wrap'/'clamp'/'zero' boundaries all ride
+        # the same u8 quad-table construction.
+        tex_u8 = jnp.clip(
+            jnp.round(tex.astype(jnp.float32) * 255.0), 0.0, 255.0
+        ).astype(jnp.uint8)
+    elif pack_mode != "none":
+        raise ValueError(f"unknown pack_mode {pack_mode!r}")
+
+    quad = _quad_table(tex_u8 if pack_mode == "u8" else tex, boundary_mode)
+    if pack_mode == "u8":
+        qh_q, qw_q = quad.shape[1], quad.shape[2]
+        quad = _pack_u8_words(quad).reshape(
+            quad.shape[0], qh_q, qw_q, -1
+        )
+    n_cols = quad.shape[3]
     qh, qw = quad.shape[1], quad.shape[2]
     if boundary_mode == "wrap":
         ix = jnp.mod(x0, tw)
@@ -452,19 +503,22 @@ def texture(
         )
         nbx = qw_p // bs
         table = (
-            quad_p.reshape(quad.shape[0], qh_p // bs, bs, nbx, bs, 4 * c_ch)
+            quad_p.reshape(quad.shape[0], qh_p // bs, bs, nbx, bs, n_cols)
             .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(quad.shape[0], qh_p * qw_p, 4 * c_ch)
+            .reshape(quad.shape[0], qh_p * qw_p, n_cols)
         )
         flat = (
             ((iy // bs) * nbx + ix // bs) * (bs * bs)
             + (iy % bs) * bs + (ix % bs)
         )
     else:
-        table = quad.reshape(quad.shape[0], qh * qw, 4 * c_ch)
+        table = quad.reshape(quad.shape[0], qh * qw, n_cols)
         flat = iy * qw + ix  # (B, H, W)
 
-    taps = _gather_rows(table, flat, shared, gather_mode).astype(jnp.float32)
+    taps = _gather_rows(table, flat, shared, gather_mode)
+    if pack_mode == "u8":
+        taps = _unpack_u8_words(taps, 4 * c_ch)
+    taps = taps.astype(jnp.float32)
     zero_masks = None
     if boundary_mode == "zero":
         # Far-out taps landed on the zero border already; these masks kill
@@ -480,7 +534,7 @@ def texture(
 
 def _texture_mip(
     tex, uv, uv_da, mip_level_bias, mip, filter_mode, boundary_mode,
-    max_mip_level,
+    max_mip_level, pack_mode="none",
 ):
     """Mip-mapped sampling: every level's quad table is flattened and packed
     into ONE row table with per-level offsets, so a pixel's bilinear tap at
@@ -497,19 +551,35 @@ def _texture_mip(
     )
     n_lvl = len(levels)
 
+    if pack_mode == "u8":
+        # 8-bit mip chain (GPU texture units store 8-bit mips too): every
+        # level re-quantized to 255ths, rows byte-packed. Exact vs the f32
+        # path when the caller passes an already-quantized `mip` stack.
+        levels = [
+            jnp.clip(
+                jnp.round(lv.astype(jnp.float32) * 255.0), 0.0, 255.0
+            ).astype(jnp.uint8)
+            for lv in levels
+        ]
+    elif pack_mode != "none":
+        raise ValueError(f"unknown pack_mode {pack_mode!r}")
+
     offs, tws, ths, qws = [], [], [], []
     packed = []
     at = 0
     for lv in levels:
         q = _quad_table(lv, boundary_mode)  # (B, QH, QW, 4C)
         qh_l, qw_l = q.shape[1], q.shape[2]
-        packed.append(q.reshape(q.shape[0], qh_l * qw_l, 4 * c_ch))
+        if pack_mode == "u8":
+            packed.append(_pack_u8_words(q))
+        else:
+            packed.append(q.reshape(q.shape[0], qh_l * qw_l, 4 * c_ch))
         offs.append(at)
         tws.append(lv.shape[2])
         ths.append(lv.shape[1])
         qws.append(qw_l)
         at += qh_l * qw_l
-    packed = jnp.concatenate(packed, axis=1)  # (B, R_total, 4C)
+    packed = jnp.concatenate(packed, axis=1)  # (B, R_total, 4C | KW words)
     offs = jnp.asarray(offs, jnp.int32)
     tws_i = jnp.asarray(tws, jnp.int32)
     ths_i = jnp.asarray(ths, jnp.int32)
@@ -559,7 +629,10 @@ def _texture_mip(
 
         taps = jax.vmap(g, in_axes=(None if shared else 0, 0))(
             packed[0] if shared else packed, flat
-        ).astype(jnp.float32)
+        )
+        if pack_mode == "u8":
+            taps = _unpack_u8_words(taps, 4 * c_ch)
+        taps = taps.astype(jnp.float32)
         zero_masks = None
         if boundary_mode == "zero":
             zero_masks = (

@@ -122,6 +122,7 @@ def _render_fused(
     texture_override,
     texture_filter_mode: str,
     texture_gather_mode: str,
+    texture_pack_mode: str,
     raster_config: RasterizerConfig,
 ) -> "RenderOutput":
     """Gather-free fast path: all requested channels ride attribute planes
@@ -226,6 +227,7 @@ def _render_fused(
             gb_rgb_fg = texture(
                 tex[None], tex_c, filter_mode=texture_filter_mode,
                 gather_mode=texture_gather_mode,
+                pack_mode=texture_pack_mode,
             )
         gb_rgb = jnp.where(
             mask[..., None], gb_rgb_fg, jnp.ones_like(gb_rgb_fg) * attr_background
@@ -265,6 +267,7 @@ def render(
     texture_override: Optional[jnp.ndarray] = None,
     texture_filter_mode: str = "linear",
     texture_gather_mode: str = "vmap",
+    texture_pack_mode: str = "none",
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
 ) -> RenderOutput:
     """Render per-view G-buffers (reference render.py:220-286).
@@ -310,6 +313,7 @@ def render(
             texture_override=texture_override,
             texture_filter_mode=texture_filter_mode,
             texture_gather_mode=texture_gather_mode,
+            texture_pack_mode=texture_pack_mode,
             raster_config=raster_config,
         )
 
@@ -342,6 +346,7 @@ def render(
             gb_rgb_fg = texture(
                 tex[None], tex_c, filter_mode=texture_filter_mode,
                 gather_mode=texture_gather_mode,
+                pack_mode=texture_pack_mode,
             )
         gb_rgb_bg = jnp.ones_like(gb_rgb_fg) * attr_background
         gb_rgb = jnp.where(mask[..., None], gb_rgb_fg, gb_rgb_bg)
