@@ -251,3 +251,55 @@ def test_projection_validates_lossy_binning(sphere_mesh, cameras):
         validate_binning=False, uv_padding=False,
     )
     assert out is not None
+
+
+def test_projection_auto_pack_bit_identical_for_quantized_images():
+    """camera_projection's images_pack_mode='auto' byte-packs the view->UV
+    gather for 255-quantized inputs; the baked texture must be bit-identical
+    to the unpacked path (file-sourced frames are k/255 by construction)."""
+    import numpy as np
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking.projection import camera_projection
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+
+    rng = np.random.default_rng(11)
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.full((64, 64, 3), 0.25, jnp.float32),
+    )
+    cam = get_camera(
+        elevation_deg=[15.0] * 3, distance=[2.5] * 3, fovy_deg=[45.0] * 3,
+        azimuth_deg=[0.0, 120.0, 240.0],
+    )
+    frames = (
+        rng.integers(0, 256, size=(3, 64, 64, 3)).astype(np.float32) / 255.0
+    )
+    kw = dict(
+        uv_size=64, poisson_blending=False, iou_rejection_threshold=None,
+        uv_padding=False,
+    )
+    base = camera_projection(
+        jnp.asarray(frames), mesh, cam, images_pack_mode="none", **kw
+    )
+    auto = camera_projection(
+        jnp.asarray(frames), mesh, cam, images_pack_mode="auto", **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(auto.uv_proj), np.asarray(base.uv_proj)
+    )
+    # Non-quantized images must auto-fall back to the unpacked gather.
+    frames_f = rng.random((3, 64, 64, 3)).astype(np.float32)
+    base_f = camera_projection(
+        jnp.asarray(frames_f), mesh, cam, images_pack_mode="none", **kw
+    )
+    auto_f = camera_projection(
+        jnp.asarray(frames_f), mesh, cam, images_pack_mode="auto", **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(auto_f.uv_proj), np.asarray(base_f.uv_proj)
+    )

@@ -76,6 +76,8 @@ def main():
     ap.add_argument("--logdir", default="/tmp/trace_c4")
     ap.add_argument("--no-attr", action="store_true",
                     help="geometry-only frame (isolates the texture stage)")
+    ap.add_argument("--pack", default="none", choices=["none", "u8"],
+                    help="texture_pack_mode for the attr stage")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +118,7 @@ def main():
             args.res, args.res,
             render_attr=not args.no_attr, render_depth=True,
             render_normal=True, raster_config=cfg,
+            texture_pack_mode=args.pack,
         )
         acc = jnp.sum(out.mask) + jnp.sum(jnp.abs(out.normal))
         if not args.no_attr:

@@ -119,6 +119,7 @@ def camera_projection(
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
     verbose: bool = False,
     validate_binning: bool = True,
+    images_pack_mode: str = "auto",
 ) -> Optional[CameraProjectionOutput]:
     """Project multi-view images onto the mesh's UV texture.
 
@@ -135,6 +136,19 @@ def camera_projection(
     images = jnp.asarray(images, jnp.float32)
     assert images.ndim == 4, "images must be (Nv, H, W, C)"
     n_views, height, width, _ = images.shape
+
+    if images_pack_mode == "auto":
+        # Byte-pack the view->UV gather when the images are 255-quantized
+        # (file-sourced frames are k/255 by construction — then the packed
+        # taps are bit-identical and the gather rows shrink 4x in element
+        # count). Host check; under jit tracing fall back to unpacked.
+        images_pack_mode = "none"
+        if not isinstance(images, jax.core.Tracer):
+            a = np.asarray(images)
+            if a.size and a.min() >= 0.0 and a.max() <= 1.0:
+                r = a * 255.0
+                if np.abs(r - np.round(r)).max() <= 1e-4:
+                    images_pack_mode = "u8"
 
     masks_pt = None
     if masks is not None:
@@ -214,7 +228,10 @@ def camera_projection(
             lambda_reg=2.0,
         )
 
-    attr = uv_render_attr(images=images, masks=masks_pt, uv_render_geometry_output=geo)
+    attr = uv_render_attr(
+        images=images, masks=masks_pt, uv_render_geometry_output=geo,
+        pack_mode=images_pack_mode,
+    )
     blend = uv_blend(
         pre,
         geo,

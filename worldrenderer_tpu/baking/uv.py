@@ -217,9 +217,15 @@ def uv_render_attr(
     uv_render_geometry_output: UVRenderGeometryOutput,
     masks: Optional[jnp.ndarray] = None,
     grid_sample_mode: str = "bilinear",
+    pack_mode: str = "none",
 ) -> UVRenderAttrOutput:
     """grid_sample view images (and optional masks) into UV space
-    (reference uv.py:193-222)."""
+    (reference uv.py:193-222).
+
+    pack_mode='u8' gathers the bilinear taps byte-packed — exact when
+    the view images are 255-quantized (video frames / PNGs), which is
+    the reference pipeline's input by construction. Leave 'none' for
+    continuous-valued inputs (e.g. float renders)."""
     ndc = uv_render_geometry_output.uv_pos_ndc
     images = jnp.asarray(images, jnp.float32)
     uv_mask_proj = None
@@ -228,7 +234,9 @@ def uv_render_attr(
         if masks.ndim == 4:
             masks = masks.mean(-1)
         # One fused gather for images + mask (same coords, see
-        # uv_render_geometry).
+        # uv_render_geometry). A binarized mask is 255-quantized only if
+        # the caller's mask is {0,1}-ish; keep pack for the image-only
+        # path and sample continuous masks unpacked.
         sampled = grid_sample(
             jnp.concatenate([images, masks[..., None]], axis=-1),
             ndc, mode=grid_sample_mode,
@@ -236,7 +244,9 @@ def uv_render_attr(
         uv_attr_proj = sampled[..., :-1]
         uv_mask_proj = sampled[..., -1]
     else:
-        uv_attr_proj = grid_sample(images, ndc, mode=grid_sample_mode)
+        uv_attr_proj = grid_sample(
+            images, ndc, mode=grid_sample_mode, pack_mode=pack_mode
+        )
     return UVRenderAttrOutput(uv_attr_proj=uv_attr_proj, uv_mask_proj=uv_mask_proj)
 
 

@@ -22,9 +22,16 @@ def grid_sample(
     image: jnp.ndarray,
     grid: jnp.ndarray,
     mode: str = "bilinear",
+    pack_mode: str = "none",
 ) -> jnp.ndarray:
     """Sample ``image`` (N, H, W, C) at ``grid`` (N, Hg, Wg, 2) NDC coords
     in [-1, 1] (x, y order). align_corners=False; out-of-bounds reads 0.
+
+    pack_mode='u8' (bilinear only): gather the 2x2 taps as bit-packed
+    uint32 words — EXACT iff every pixel value is k/255 (image-file
+    sources, e.g. video frames). The gather emitter's cost is per-row
+    with an element term (see ops/texture.py), so 3 words beat 12 f32
+    columns. Do NOT use on continuous-valued maps (positions, depths).
     """
     image = jnp.asarray(image, jnp.float32)
     grid = jnp.asarray(grid, jnp.float32)
@@ -64,18 +71,31 @@ def grid_sample(
     # QUAD TABLE holding each texel's 2x2 neighborhood contiguously halves
     # the dominant cost of UV-scale sampling (same trick as ops/texture.py).
     c_ch = image.shape[-1]
-    p = jnp.pad(image, [(0, 0), (1, 1), (1, 1), (0, 0)])
+    src = image
+    if pack_mode == "u8":
+        src = jnp.clip(jnp.round(image * 255.0), 0.0, 255.0).astype(jnp.uint8)
+    elif pack_mode != "none":
+        raise ValueError(f"unknown pack_mode {pack_mode!r}")
+    p = jnp.pad(src, [(0, 0), (1, 1), (1, 1), (0, 0)])
     quad = jnp.concatenate(
         [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
         axis=-1,
     )  # (N, H+1, W+1, 4C); row (y+1, x+1) = taps of (y, x)
     qh, qw = h + 1, w + 1
     flat = jnp.clip(y0 + 1, 0, h) * qw + jnp.clip(x0 + 1, 0, w)
+    if pack_mode == "u8":
+        from .texture import _pack_u8_words, _unpack_u8_words
 
-    def quad_gather(quad_b, flat_b):
-        return quad_b.reshape(qh * qw, 4 * c_ch)[flat_b]
+        table = _pack_u8_words(quad.reshape(n, qh, qw, 4 * c_ch))
+    else:
+        table = quad.reshape(n, qh * qw, 4 * c_ch)
 
-    taps = jax.vmap(quad_gather)(quad, flat)  # (N, Hg, Wg, 4C)
+    def quad_gather(table_b, flat_b):
+        return table_b[flat_b]
+
+    taps = jax.vmap(quad_gather)(table, flat)  # (N, Hg, Wg, cols)
+    if pack_mode == "u8":
+        taps = _unpack_u8_words(taps, 4 * c_ch)
     in_x0 = ((x0 >= 0) & (x0 < w))[..., None]
     in_x1 = ((x0 + 1 >= 0) & (x0 + 1 < w))[..., None]
     in_y0 = ((y0 >= 0) & (y0 < h))[..., None]
