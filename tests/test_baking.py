@@ -303,3 +303,69 @@ def test_projection_auto_pack_bit_identical_for_quantized_images():
     np.testing.assert_array_equal(
         np.asarray(auto_f.uv_proj), np.asarray(base_f.uv_proj)
     )
+
+
+def test_fused_geo_attr_gather_bit_identical():
+    """uv_render_geometry(sample_images=...) fuses the attr gather into the
+    geometry row gather (the projection's dominant cost); outputs must be
+    bit-identical to a separate uv_render_attr call — for f32 and packed
+    images, with and without masks."""
+    import numpy as np
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking.uv import (
+        uv_precompute, uv_render_attr, uv_render_geometry,
+    )
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+
+    rng = np.random.default_rng(5)
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.full((32, 32, 3), 0.5, jnp.float32),
+    )
+    cam = get_camera(
+        elevation_deg=[20.0] * 2, distance=[2.6] * 2, fovy_deg=[45.0] * 2,
+        azimuth_deg=[30.0, 200.0],
+    )
+    pre = uv_precompute(mesh, 48, 48)
+    imgs_q = jnp.asarray(
+        rng.integers(0, 256, size=(2, 40, 40, 3)).astype(np.float32) / 255.0
+    )
+    masks = jnp.asarray((rng.random((2, 40, 40)) > 0.3).astype(np.float32))
+
+    for pack in ("none", "u8"):
+        for m in (None, masks):
+            geo = uv_render_geometry(
+                mesh, cam, 40, 40, pre, compute_depth_grad=True,
+                depth_grad_dilation=3,
+            )
+            attr = uv_render_attr(
+                imgs_q, geo, masks=m,
+                pack_mode=pack if m is None else "none",
+            )
+            fused = uv_render_geometry(
+                mesh, cam, 40, 40, pre, compute_depth_grad=True,
+                depth_grad_dilation=3, sample_images=imgs_q,
+                sample_masks=m, images_pack_mode=pack,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused.uv_pos_proj), np.asarray(geo.uv_pos_proj)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused.uv_aoi_cos), np.asarray(geo.uv_aoi_cos)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused.uv_depth_grad), np.asarray(geo.uv_depth_grad)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fused.uv_attr_proj), np.asarray(attr.uv_attr_proj)
+            )
+            if m is not None:
+                np.testing.assert_array_equal(
+                    np.asarray(fused.uv_mask_proj),
+                    np.asarray(attr.uv_mask_proj),
+                )

@@ -23,6 +23,7 @@ from ..transforms import get_clip_space_position
 from .uv import (
     ExponentialBlend,
     SimpleUVValidityStrategy,
+    UVRenderAttrOutput,
     uv_blend,
     uv_precompute,
     uv_render_attr,
@@ -176,6 +177,15 @@ def camera_projection(
         )
 
     pre = uv_precompute(mesh, height=uv_size, width=uv_size, raster_config=raster_config)
+    # NOTE on fusing the attr gather into the geometry gather
+    # (uv_render_geometry(sample_images=...)): it halves the gather rows
+    # bit-identically, but XLA's TPU gather emitter has a COLUMN CLIFF —
+    # fusion roots get a transposed planar layout and a >16-column gather
+    # writes ~6x slower per row (traced: 2x181 ms separate vs 1119 ms
+    # fused at 28 cols, 895 ms with byte-packed image columns at ~23).
+    # Until the emitter changes, separate <=16-col gathers are faster, so
+    # fusing stays OFF; the machinery + bit-identity tests remain.
+    fuse_attr = False
     geo = uv_render_geometry(
         mesh,
         cam,
@@ -185,6 +195,9 @@ def camera_projection(
         compute_depth_grad=True,
         depth_grad_dilation=depth_grad_dilation,
         raster_config=raster_config,
+        sample_images=images if fuse_attr else None,
+        sample_masks=masks_pt if fuse_attr else None,
+        images_pack_mode=images_pack_mode if fuse_attr else "none",
     )
 
     if masks_pt is not None and iou_rejection_threshold is not None:
@@ -228,10 +241,15 @@ def camera_projection(
             lambda_reg=2.0,
         )
 
-    attr = uv_render_attr(
-        images=images, masks=masks_pt, uv_render_geometry_output=geo,
-        pack_mode=images_pack_mode,
-    )
+    if fuse_attr:
+        attr = UVRenderAttrOutput(
+            uv_attr_proj=geo.uv_attr_proj, uv_mask_proj=geo.uv_mask_proj
+        )
+    else:
+        attr = uv_render_attr(
+            images=images, masks=masks_pt, uv_render_geometry_output=geo,
+            pack_mode=images_pack_mode,
+        )
     blend = uv_blend(
         pre,
         geo,

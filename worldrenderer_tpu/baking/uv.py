@@ -111,6 +111,10 @@ class UVRenderGeometryOutput(NamedTuple):
     view_depth_grad: Optional[jnp.ndarray] = None
     uv_depth_grad: Optional[jnp.ndarray] = None
     view_attr: Optional[jnp.ndarray] = None
+    # Filled when ``sample_images`` is given: the view->UV attribute gather
+    # fused into THIS call's row gather (see uv_render_geometry docstring).
+    uv_attr_proj: Optional[jnp.ndarray] = None
+    uv_mask_proj: Optional[jnp.ndarray] = None
 
 
 def uv_render_geometry(
@@ -124,11 +128,24 @@ def uv_render_geometry(
     depth_grad_dilation: int = 1,
     render_attr: bool = False,
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
+    sample_images: Optional[jnp.ndarray] = None,
+    sample_masks: Optional[jnp.ndarray] = None,
+    images_pack_mode: str = "none",
 ) -> UVRenderGeometryOutput:
     """Per-view geometric correspondence for every texel (reference
     uv.py:72-184): project texel world-pos into each view, render view
     G-buffers, compute aoi-cos, occlusion-boundary depth gradient, and sample
-    the view maps back to UV space."""
+    the view maps back to UV space.
+
+    ``sample_images`` (Nv, H, W, C): also gather these view images into UV
+    space IN THE SAME row gather (outputs land in ``uv_attr_proj`` /
+    ``uv_mask_proj``). The view->UV gathers dominate the projection's
+    device time (two ~25M-row gathers at the TPU emitter's per-row floor
+    were 83% of the traced bake), and both sample at identical NDC coords,
+    so fusing halves the projection's gather rows; results are
+    bit-identical to a separate :func:`uv_render_attr` call.
+    ``images_pack_mode='u8'`` additionally byte-packs the image columns
+    (exact for 255-quantized frames)."""
     pre = uv_precompute_output
     batch_size = len(cam)
     height, width, _ = pre.uv_pos.shape
@@ -176,17 +193,40 @@ def uv_render_geometry(
     # All view maps sample at the SAME ndc coords — fuse them into ONE
     # grid_sample call (gathers are row-count bound on TPU: one 4/5-channel
     # gather costs ~the same as one 1-channel gather, so separate calls pay
-    # 3x the rows for nothing).
+    # 3x the rows for nothing). sample_images/sample_masks ride the same
+    # row gather as extra table columns (grid_sample_parts).
     stack = [view_position, view_aoi_cos[..., None]]
     if compute_depth_grad:
         stack.append(view_depth_grad[..., None])
-    sampled = grid_sample(
-        jnp.concatenate(stack, axis=-1), uv_pos_ndc, mode=grid_sample_mode
-    )
+    n_geo = sum(s.shape[-1] for s in stack)
+    parts = [(jnp.concatenate(stack, axis=-1), "none")]
+    uv_attr_proj = None
+    uv_mask_proj = None
+    if sample_masks is not None and sample_masks.ndim == 4:
+        sample_masks = sample_masks.mean(-1)
+    if sample_images is not None:
+        parts.append((sample_images, images_pack_mode))
+        if sample_masks is not None:
+            parts.append((sample_masks[..., None], "none"))
+    if grid_sample_mode == "bilinear":
+        from ..ops.grid_sample import grid_sample_parts
+
+        sampled = grid_sample_parts(parts, uv_pos_ndc)
+    else:
+        sampled = jnp.concatenate(
+            [grid_sample(im, uv_pos_ndc, mode=grid_sample_mode)
+             for im, _ in parts],
+            axis=-1,
+        )
     uv_pos_proj = sampled[..., :3]
     uv_aoi_cos = sampled[..., 3]
     if compute_depth_grad:
         uv_depth_grad = sampled[..., 4]
+    if sample_images is not None:
+        nc = sample_images.shape[-1]
+        uv_attr_proj = sampled[..., n_geo : n_geo + nc]
+        if sample_masks is not None:
+            uv_mask_proj = sampled[..., n_geo + nc]
     uv_pos_error = jnp.sqrt(
         jnp.sum((uv_pos_proj - pre.uv_pos[None]) ** 2, axis=-1)
     )
@@ -204,6 +244,8 @@ def uv_render_geometry(
         view_depth_grad=view_depth_grad,
         uv_depth_grad=uv_depth_grad,
         view_attr=out.attr if render_attr else None,
+        uv_attr_proj=uv_attr_proj,
+        uv_mask_proj=uv_mask_proj,
     )
 
 

@@ -305,33 +305,39 @@ def _flat_chunks(
     live2d = lane < ccount[:, None]
     flat_ids = jnp.where(live2d, ids2d, t_total).reshape(l_cap)
 
-    # ONE fused record gather per entry: 4 geometry planes, the triangle id
-    # (split hi/lo: each byte-range row reconstructs EXACTLY through the
-    # two-pass bf16 select matmul, so split_bf16 keeps exact ids up to
-    # T = 2^24 instead of falling back to the 3x-costlier fp32 passes at
-    # 2^16), the attribute planes, validity. Everything before and after
-    # the gather keeps the triangle/entry count on the LANE dim — per-entry
-    # layouts like (l_cap, 4, 3) tile their (4, 3) minor dims to (8, 128)
-    # on TPU, a ~85x VMEM/HBM blowup.
-    ids_f = jnp.arange(t_total + 1, dtype=jnp.int32)
-    record_t = jnp.concatenate(
-        [
-            setup.planes12,
-            (ids_f // 256).astype(jnp.float32)[None],
-            (ids_f % 256).astype(jnp.float32)[None],
-            attr_rows,
-            setup.valid[None].astype(jnp.float32),
-        ],
-        axis=0,
-    )  # (15 + 3nv, T+1)
+    # ONE fused record gather per entry: 4 geometry planes + the attribute
+    # planes. Everything before and after the gather keeps the
+    # triangle/entry count on the LANE dim — per-entry layouts like
+    # (l_cap, 4, 3) tile their (4, 3) minor dims to (8, 128) on TPU, a
+    # ~85x VMEM/HBM blowup. The gather emitter's cost is per-row with a
+    # per-element term (CLAUDE.md round-5), so rows carry no derivable
+    # columns: the triangle id IS the gather index (hi/lo byte rows are
+    # computed arithmetically below — split_bf16 keeps them exact up to
+    # T = 2^24 through the two-pass select matmul), and validity is
+    # pre-baked into a record-local copy of the e0 constant (BIG_NEG
+    # swallows the |tile-origin|-sized rebase exactly in f32, so invalid
+    # entries can never win coverage; setup.planes12 itself stays clean
+    # because the attribute-plane build divides by its edge planes).
+    planes_rec = (
+        setup.planes12
+        .at[0].set(jnp.where(setup.valid, setup.planes12[0], 0.0))
+        .at[1].set(jnp.where(setup.valid, setup.planes12[1], 0.0))
+        .at[2].set(jnp.where(setup.valid, setup.planes12[2], _BIG_NEG))
+    )  # zeroed e0 alpha/beta keep the rebase from overflowing past BIG_NEG
+    record_t = jnp.concatenate([planes_rec, attr_rows], axis=0)
+    # (12 + 3nv, T+1)
     rec_t = record_t.T[flat_ids].T  # gather rows, one small + one big transpose
     p12 = rec_t[:12].reshape(4, 3, l_cap)
     pa = p12[:, 0]  # (4, l_cap) alpha of e0, e1, e2, z
     pb = p12[:, 1]
     pgm = p12[:, 2]
-    idv = rec_t[12:14]  # (2, l_cap) id hi/lo
-    ap3 = rec_t[14 : 14 + 3 * nv].reshape(nv, 3, l_cap)
-    validv = rec_t[-1] > 0.5  # (l_cap,)
+    idv = jnp.stack(
+        [
+            (flat_ids // 256).astype(jnp.float32),
+            (flat_ids % 256).astype(jnp.float32),
+        ]
+    )  # (2, l_cap) id hi/lo, derived — not gathered
+    ap3 = rec_t[12 : 12 + 3 * nv].reshape(nv, 3, l_cap)
 
     ox = jnp.broadcast_to(
         ((chunk_tile % n_tx) * tile_w).astype(jnp.float32)[:, None],
@@ -342,7 +348,8 @@ def _flat_chunks(
         (nch_total, c),
     ).reshape(1, l_cap)
     pg = pgm + pa * ox + pb * oy  # (4, l_cap) rebased constants
-    pg = pg.at[0].set(jnp.where(validv, pg[0], _BIG_NEG))
+    # (validity already baked into the e0 record rows — dead lanes carry
+    # alpha = beta = 0, gamma = _BIG_NEG, so pg[0] is exactly _BIG_NEG)
     ag = ap3[:, 2] + ap3[:, 0] * ox + ap3[:, 1] * oy  # (nv, l_cap)
 
     # Coef dim padded 3 -> 4 (zero row): DMA slice shapes must align to the
