@@ -76,7 +76,9 @@ def main():
                 uv_attr_proj=geo.uv_attr_proj, uv_mask_proj=None
             )
         else:
-            attr = uv_render_attr(views, geo)
+            attr = uv_render_attr(
+                views, geo, pack_mode="u8" if args.pack else "none"
+            )
         out = uv_blend(
             pre, geo, attr,
             do_uv_padding=args.full, poisson_blending=args.full,

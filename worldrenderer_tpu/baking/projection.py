@@ -134,22 +134,24 @@ def camera_projection(
     dropping triangles (the budgets are per-scene knobs; see
     ops.rasterize.binning_stats). Skipped automatically under jit tracing.
     """
-    images = jnp.asarray(images, jnp.float32)
-    assert images.ndim == 4, "images must be (Nv, H, W, C)"
-    n_views, height, width, _ = images.shape
-
     if images_pack_mode == "auto":
         # Byte-pack the view->UV gather when the images are 255-quantized
         # (file-sourced frames are k/255 by construction — then the packed
         # taps are bit-identical and the gather rows shrink 4x in element
-        # count). Host check; under jit tracing fall back to unpacked.
+        # count). The check runs ONLY on host-resident numpy input, BEFORE
+        # any device conversion: pulling a device array back through the
+        # tunnel (~2 MB/s) would cost far more than the packing saves.
         images_pack_mode = "none"
-        if not isinstance(images, jax.core.Tracer):
-            a = np.asarray(images)
-            if a.size and a.min() >= 0.0 and a.max() <= 1.0:
+        if isinstance(images, np.ndarray) and images.size:
+            a = images.astype(np.float32, copy=False)
+            if a.min() >= 0.0 and a.max() <= 1.0:
                 r = a * 255.0
                 if np.abs(r - np.round(r)).max() <= 1e-4:
                     images_pack_mode = "u8"
+
+    images = jnp.asarray(images, jnp.float32)
+    assert images.ndim == 4, "images must be (Nv, H, W, C)"
+    n_views, height, width, _ = images.shape
 
     masks_pt = None
     if masks is not None:

@@ -275,14 +275,20 @@ def uv_render_attr(
         masks = jnp.asarray(masks, jnp.float32)
         if masks.ndim == 4:
             masks = masks.mean(-1)
-        # One fused gather for images + mask (same coords, see
-        # uv_render_geometry). A binarized mask is 255-quantized only if
-        # the caller's mask is {0,1}-ish; keep pack for the image-only
-        # path and sample continuous masks unpacked.
-        sampled = grid_sample(
-            jnp.concatenate([images, masks[..., None]], axis=-1),
-            ndc, mode=grid_sample_mode,
-        )
+        # One fused row gather for images + mask (same coords, see
+        # uv_render_geometry); the image columns honor pack_mode while the
+        # (possibly continuous-valued) mask rides unpacked f32 columns.
+        if grid_sample_mode == "bilinear":
+            from ..ops.grid_sample import grid_sample_parts
+
+            sampled = grid_sample_parts(
+                [(images, pack_mode), (masks[..., None], "none")], ndc
+            )
+        else:
+            sampled = grid_sample(
+                jnp.concatenate([images, masks[..., None]], axis=-1),
+                ndc, mode=grid_sample_mode,
+            )
         uv_attr_proj = sampled[..., :-1]
         uv_mask_proj = sampled[..., -1]
     else:

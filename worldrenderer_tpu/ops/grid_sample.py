@@ -83,7 +83,7 @@ def grid_sample_parts(
     parts: sequence of ((N, H, W, C_i) image, pack_mode) with shared
     (N, H, W); grid: (N, Hg, Wg, 2) NDC as in :func:`grid_sample`.
     """
-    from .texture import _pack_u8_words, _unpack_u8_words
+    from .texture import _pack_u8_words, _quantize_u8, _unpack_u8_words
 
     assert parts, "grid_sample_parts needs at least one part"
     images = [jnp.asarray(im, jnp.float32) for im, _ in parts]
@@ -137,7 +137,7 @@ def grid_sample_parts(
         im = u8_ims[0] if len(u8_ims) == 1 else jnp.concatenate(
             u8_ims, axis=-1
         )
-        src = jnp.clip(jnp.round(im * 255.0), 0.0, 255.0).astype(jnp.uint8)
+        src = _quantize_u8(im)
         words = _pack_u8_words(quad_of(src)).reshape(n, qh, qw, -1)
         groups.append(("u8", 4 * im.shape[-1], words.shape[-1], words))
     if len(groups) == 1:

@@ -113,6 +113,16 @@ def _gather_rows(table, flat, shared, mode):
     raise ValueError(f"unknown gather_mode {mode!r}")
 
 
+def _quantize_u8(x):
+    """255-quantize to uint8. EXACTNESS-CRITICAL recipe: round (not
+    truncate) + clip, so ``byte / 255.0`` in :func:`_unpack_u8_words`
+    reconstructs the caller's k/255 texels bit-for-bit. Every packed
+    path must use THIS helper."""
+    return jnp.clip(
+        jnp.round(jnp.asarray(x, jnp.float32) * 255.0), 0.0, 255.0
+    ).astype(jnp.uint8)
+
+
 def _pack_u8_words(quad_u8):
     """(B, QH, QW, K) uint8 -> (B, QH*QW, ceil(K/4)) uint32, little-endian
     byte order within each word. Shrinks the gathered row 4x in element
@@ -469,9 +479,7 @@ def texture(
         # k/255 (uint8 image data); callers with synthetic float textures
         # must quantize first. 'wrap'/'clamp'/'zero' boundaries all ride
         # the same u8 quad-table construction.
-        tex_u8 = jnp.clip(
-            jnp.round(tex.astype(jnp.float32) * 255.0), 0.0, 255.0
-        ).astype(jnp.uint8)
+        tex_u8 = _quantize_u8(tex)
     elif pack_mode != "none":
         raise ValueError(f"unknown pack_mode {pack_mode!r}")
 
@@ -555,12 +563,7 @@ def _texture_mip(
         # 8-bit mip chain (GPU texture units store 8-bit mips too): every
         # level re-quantized to 255ths, rows byte-packed. Exact vs the f32
         # path when the caller passes an already-quantized `mip` stack.
-        levels = [
-            jnp.clip(
-                jnp.round(lv.astype(jnp.float32) * 255.0), 0.0, 255.0
-            ).astype(jnp.uint8)
-            for lv in levels
-        ]
+        levels = [_quantize_u8(lv) for lv in levels]
     elif pack_mode != "none":
         raise ValueError(f"unknown pack_mode {pack_mode!r}")
 

@@ -221,7 +221,8 @@ def _render_fused(
         tex = texture_override if texture_override is not None else mesh.texture
         if texture_filter_mode == "auto_mip":
             gb_rgb_fg = texture(
-                tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto"
+                tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto",
+                pack_mode=texture_pack_mode,
             )
         else:
             gb_rgb_fg = texture(
@@ -340,7 +341,8 @@ def render(
         tex = texture_override if texture_override is not None else mesh.texture
         if texture_filter_mode == "auto_mip":
             gb_rgb_fg = texture(
-                tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto"
+                tex[None], tex_c, uv_da=_fd_uv_da(tex_c), filter_mode="auto",
+                pack_mode=texture_pack_mode,
             )
         else:
             gb_rgb_fg = texture(
