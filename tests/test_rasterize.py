@@ -656,3 +656,55 @@ def test_auto_fast_config_multi_probe_covers_both():
     solo_view = auto_fast_config(pos_clip, tri, (256, 256))
     assert cfg.bin_med >= max(solo_uv.bin_med, solo_view.bin_med)
     assert cfg.bin_huge >= max(solo_uv.bin_huge, solo_view.bin_huge)
+
+
+def test_render_ssaa_smooths_silhouette():
+    """ssaa=2 renders at 2x and box-downfilters: interior matches ssaa=1,
+    the silhouette gains fractional coverage, and aliasing energy on the
+    attr edge drops."""
+    import numpy as np
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+    from worldrenderer_tpu.render import render
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    tex = np.full((16, 16, 3), 0.9, np.float32)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=[15.0], distance=[2.6], fovy_deg=[45.0],
+        azimuth_deg=[30.0],
+    )
+    base = render(mesh, cam, 64, 64, attr_background=0.1)
+    aa = render(mesh, cam, 64, 64, attr_background=0.1, ssaa=2)
+
+    m = np.asarray(base.mask[0])
+    m_aa = np.asarray(aa.mask[0])
+    assert aa.attr.shape == base.attr.shape
+    # interior (3-px-eroded coverage): full fractional coverage, attr equal
+    interior = m.copy()
+    for _ in range(3):
+        interior = (
+            interior & np.roll(interior, 1, 0) & np.roll(interior, -1, 0)
+            & np.roll(interior, 1, 1) & np.roll(interior, -1, 1)
+        )
+    assert np.all(m_aa[interior] == 1.0)
+    np.testing.assert_allclose(
+        np.asarray(aa.attr[0])[interior], np.asarray(base.attr[0])[interior],
+        atol=1e-5,
+    )
+    # silhouette: fractional coverage appears
+    frac = (m_aa > 0.0) & (m_aa < 1.0)
+    assert frac.sum() > 10
+    # accuracy: ssaa=2 is closer to the ssaa=4 ground truth than ssaa=1
+    truth = render(mesh, cam, 64, 64, attr_background=0.1, ssaa=4)
+    t = np.asarray(truth.attr[0])
+    e0 = np.abs(np.asarray(base.attr[0]) - t).sum()
+    e1 = np.abs(np.asarray(aa.attr[0]) - t).sum()
+    assert e1 < 0.6 * e0, (e1, e0)

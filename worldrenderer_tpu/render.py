@@ -270,13 +270,52 @@ def render(
     texture_gather_mode: str = "vmap",
     texture_pack_mode: str = "none",
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
+    ssaa: int = 1,
 ) -> RenderOutput:
     """Render per-view G-buffers (reference render.py:220-286).
 
     Whole view batches render in one traced computation — the per-view Python
     loop of the reference app (test/pipeline.py:194) disappears into the
     batch axis.
+
+    ``ssaa``: supersampling factor. ssaa=N renders at (N*H, N*W) and
+    box-downfilters every channel — the gold-standard geometric
+    antialiasing, orthogonal to ``antialias_attr``'s analytic edge blend.
+    The returned ``mask`` becomes FLOAT coverage in [0, 1] (interior 1.0,
+    silhouette fractional); averaged ``normal``/``tangent`` are not
+    re-normalized (linear-space filtering, as an image downsampler would).
+    Note any scene-tuned ``raster_config`` (auto_fast_config / binning
+    budgets) must be sized for the SUPERSAMPLED resolution.
     """
+    if ssaa > 1:
+        out = render(
+            mesh, cam, height * ssaa, width * ssaa,
+            render_attr=render_attr, render_depth=render_depth,
+            render_normal=render_normal, render_tangent=render_tangent,
+            antialias_attr=antialias_attr,
+            depth_normalization_strategy=depth_normalization_strategy,
+            attr_background=attr_background,
+            normal_background=normal_background,
+            tangent_background=tangent_background,
+            texture_override=texture_override,
+            texture_filter_mode=texture_filter_mode,
+            texture_gather_mode=texture_gather_mode,
+            texture_pack_mode=texture_pack_mode,
+            raster_config=raster_config,
+        )
+
+        def down(x):
+            if x is None:
+                return None
+            b = x.shape[0]
+            if x.ndim == 3:  # (B, H, W)
+                return x.astype(jnp.float32).reshape(
+                    b, height, ssaa, width, ssaa
+                ).mean((2, 4))
+            c = x.shape[-1]
+            return x.reshape(b, height, ssaa, width, ssaa, c).mean((2, 4))
+
+        return RenderOutput(**{k: down(v) for k, v in out._asdict().items()})
     mesh = with_normals(mesh, compute_tangents=render_tangent)
 
     v_pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
