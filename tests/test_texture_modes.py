@@ -354,3 +354,40 @@ def test_pack_u8_mip_trilinear_identical_on_quantized(rng):
                 filter_mode="linear-mipmap-linear", pack_mode="u8")
     )
     np.testing.assert_array_equal(got, base)
+
+
+def test_render_auto_mip_honors_pack_mode():
+    """texture_pack_mode threads into the auto_mip sampler (packed mip
+    chain re-quantizes each level, so expect ~8-bit closeness, not
+    bit-identity)."""
+    import jax
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.render import render
+
+    rng = np.random.default_rng(9)
+    verts, faces = make_grid_mesh(8, extent=1.0)
+    uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
+    q = rng.integers(0, 256, size=(64, 64, 3))
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(q, jnp.float32) / 255.0,
+    )
+    cam = get_camera(
+        elevation_deg=40.0, distance=2.5, fovy_deg=45.0, num_views=1,
+        near=0.1, far=10.0,
+    )
+    base = render(
+        mesh, cam, 32, 32, render_attr=True, texture_filter_mode="auto_mip"
+    )
+    packed = render(
+        mesh, cam, 32, 32, render_attr=True, texture_filter_mode="auto_mip",
+        texture_pack_mode="u8",
+    )
+    d = np.abs(np.asarray(packed.attr) - np.asarray(base.attr))
+    assert d.max() <= 2.0 / 255.0, d.max()
+    assert d.max() > 0.0  # the packed mip chain IS engaged (re-quantized)
