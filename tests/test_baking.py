@@ -133,6 +133,7 @@ def test_projection_roundtrip(sphere_mesh, cameras):
     assert err.mean() < 0.15
 
 
+@pytest.mark.slow  # ~30-65 s compile-bound; full-lane only
 def test_iou_rejection(sphere_mesh, cameras):
     views = render(
         sphere_mesh, cameras, VIEW_RES, VIEW_RES,

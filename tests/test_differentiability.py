@@ -173,6 +173,7 @@ def test_grad_wrt_vertex_positions_matches_finite_difference():
     assert checked >= 2, "could not find stable FD probes"
 
 
+@pytest.mark.slow  # ~30-65 s compile-bound; full-lane only
 def test_antialias_silhouette_gradients():
     """Silhouette gradients: antialias' edge-crossing weights are analytic
     in pos, so d(sum of AA'd color)/d(vertex) is nonzero across the

@@ -216,6 +216,7 @@ def test_split_bf16_exact_ids_beyond_2_16():
     assert (idf[big] == ide[big]).mean() > 0.995
 
 
+@pytest.mark.slow  # ~25-28 s per precision mode; full-lane only
 @pytest.mark.parametrize("prec", ["split_bf16", "highest"])
 def test_kernel_unroll2_bit_identical(prec):
     """kernel_unroll=2 (paired chunks, independent compare chains, odd tail)

@@ -62,6 +62,7 @@ def test_level_selection_by_coverage(chain):
     assert select_lod_level(chain, both, 1024, 1024) == 0
 
 
+@pytest.mark.slow  # ~30-65 s compile-bound; full-lane only
 def test_decimated_level_renders_similar_coverage(bumpy, chain):
     cam = get_camera(
         elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=1,

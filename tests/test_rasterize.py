@@ -540,6 +540,7 @@ def test_binning_stats_diagnostic():
     assert not tiny["ok"]
 
 
+@pytest.mark.slow  # ~30-65 s compile-bound; full-lane only
 def test_medium_tier_binning_matches_exact():
     """The 3-tier flat binning (small 2x2 span + medium 8x4 block + huge
     per-tile enumeration, FAST_TPU_CONFIG) must reproduce the exact
