@@ -370,3 +370,62 @@ def test_fused_geo_attr_gather_bit_identical():
                     np.asarray(fused.uv_mask_proj),
                     np.asarray(attr.uv_mask_proj),
                 )
+
+
+def test_uv_blend_textureless_mesh_uses_empty_value():
+    """A texture-less mesh (uv_attr None) must blend cleanly: unseen
+    texels take empty_value instead of crashing on None arithmetic."""
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking.uv import (
+        uv_blend, uv_precompute, uv_render_attr, uv_render_geometry,
+    )
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=None,
+    )
+    cam = get_camera(
+        elevation_deg=[20.0], distance=[2.6], fovy_deg=[45.0],
+        azimuth_deg=[40.0],
+    )
+    pre = uv_precompute(mesh, 48, 48)
+    geo = uv_render_geometry(mesh, cam, 40, 40, pre)
+    views = jnp.full((1, 40, 40, 3), 0.75, jnp.float32)
+    attr = uv_render_attr(views, geo)
+    out = uv_blend(pre, geo, attr, do_uv_padding=False, empty_value=0.25)
+    a = np.asarray(out.uv_attr_blend)
+    assert np.isfinite(a).all()
+    unseen = ~np.asarray(out.uv_valid_mask_blend)
+    assert unseen.any() and np.allclose(a[unseen], 0.25)
+
+
+def test_uv_render_geometry_masks_without_images():
+    """sample_masks without sample_images must still produce uv_mask_proj
+    (previously silently dropped)."""
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking.uv import uv_precompute, uv_render_geometry
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.full((48, 48, 3), 0.5, jnp.float32),
+    )
+    cam = get_camera(
+        elevation_deg=[20.0], distance=[2.6], fovy_deg=[45.0],
+        azimuth_deg=[40.0],
+    )
+    pre = uv_precompute(mesh, 48, 48)
+    masks = jnp.ones((1, 40, 40), jnp.float32)
+    geo = uv_render_geometry(mesh, cam, 40, 40, pre, sample_masks=masks)
+    assert geo.uv_mask_proj is not None
+    assert geo.uv_mask_proj.shape == (1, 48, 48)
+    assert float(geo.uv_mask_proj.max()) == 1.0

@@ -709,3 +709,67 @@ def test_render_ssaa_smooths_silhouette():
     e0 = np.abs(np.asarray(base.attr[0]) - t).sum()
     e1 = np.abs(np.asarray(aa.attr[0]) - t).sum()
     assert e1 < 0.6 * e0, (e1, e0)
+
+
+def test_backend_families_cross_map():
+    """Explicit fused backend names drive the classic rasterize path at
+    full speed (and vice versa): rasterize(backend='fused_pallas') must
+    match backend='xla' exactly — previously it silently fell back to the
+    slow XLA scan while CLAIMING the tuned fast path."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+
+    verts, faces = make_grid_mesh(40)  # >4096 tris: sort_pairs eligible
+    cam = get_camera(
+        elevation_deg=[30.0], distance=[2.8], fovy_deg=[45.0],
+        azimuth_deg=[15.0],
+    )
+    pos_clip = get_clip_space_position(
+        jnp.asarray(verts, jnp.float32), cam.mvp_mtx
+    )
+    tri = jnp.asarray(faces, jnp.int32)
+    base = np.asarray(
+        rasterize(pos_clip, tri, (128, 128), RasterizerConfig(backend="xla"))
+    )
+    for be in ("fused_pallas", "vpu_pallas", "fused_xla"):
+        got = np.asarray(
+            rasterize(
+                pos_clip, tri, (128, 128),
+                RasterizerConfig(backend=be, dot_precision="highest"),
+            )
+        )
+        np.testing.assert_allclose(got, base, atol=1e-5, err_msg=be)
+    # and the fused entry accepts classic names
+    g1 = rasterize_gbuffer(
+        pos_clip, tri, None, (128, 128), RasterizerConfig(backend="pallas")
+    )
+    g2 = rasterize_gbuffer(
+        pos_clip, tri, None, (128, 128),
+        RasterizerConfig(backend="fused_pallas"),
+    )
+    np.testing.assert_array_equal(np.asarray(g1.tri_id), np.asarray(g2.tri_id))
+
+
+def test_dot_precision_high_upgraded_on_pallas():
+    """dot_precision='high' crashes Mosaic lowering (CLAUDE.md); the Pallas
+    dispatches upgrade it to 'highest' instead of compiling a crash."""
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+
+    verts, faces = icosphere(subdivisions=1)
+    cam = get_camera(
+        elevation_deg=[10.0], distance=[2.5], fovy_deg=[40.0],
+        azimuth_deg=[0.0],
+    )
+    pos_clip = get_clip_space_position(
+        jnp.asarray(verts, jnp.float32), cam.mvp_mtx
+    )
+    tri = jnp.asarray(faces, jnp.int32)
+    a = rasterize_gbuffer(
+        pos_clip, tri, None, (64, 64),
+        RasterizerConfig(backend="fused_pallas", dot_precision="high"),
+    )
+    b = rasterize_gbuffer(
+        pos_clip, tri, None, (64, 64),
+        RasterizerConfig(backend="fused_pallas", dot_precision="highest"),
+    )
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))

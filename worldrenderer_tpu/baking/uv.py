@@ -206,8 +206,10 @@ def uv_render_geometry(
         sample_masks = sample_masks.mean(-1)
     if sample_images is not None:
         parts.append((sample_images, images_pack_mode))
-        if sample_masks is not None:
-            parts.append((sample_masks[..., None], "none"))
+    if sample_masks is not None:
+        # masks ride the shared gather even without images (a silent drop
+        # here would skip the validity strategy's mask test downstream)
+        parts.append((sample_masks[..., None], "none"))
     if grid_sample_mode == "bilinear":
         from ..ops.grid_sample import grid_sample_parts
 
@@ -222,11 +224,13 @@ def uv_render_geometry(
     uv_aoi_cos = sampled[..., 3]
     if compute_depth_grad:
         uv_depth_grad = sampled[..., 4]
+    at = n_geo
     if sample_images is not None:
         nc = sample_images.shape[-1]
-        uv_attr_proj = sampled[..., n_geo : n_geo + nc]
-        if sample_masks is not None:
-            uv_mask_proj = sampled[..., n_geo + nc]
+        uv_attr_proj = sampled[..., at : at + nc]
+        at += nc
+    if sample_masks is not None:
+        uv_mask_proj = sampled[..., at]
     uv_pos_error = jnp.sqrt(
         jnp.sum((uv_pos_proj - pre.uv_pos[None]) ** 2, axis=-1)
     )
@@ -419,7 +423,7 @@ def uv_blend(
     uv_render_attr_output: Optional[UVRenderAttrOutput],
     uv_validity_strategy=SimpleUVValidityStrategy(),
     uv_blend_weight_strategy=ExponentialBlend(),
-    empty_value: float = 0.0,  # parity arg; unused by the reference too
+    empty_value: float = 0.0,  # fill for texture-less meshes (see below)
     do_uv_padding: bool = True,
     uv_padding_radius: int = 3,
     pad_unseen_area: bool = False,
@@ -436,7 +440,6 @@ def uv_blend(
     (coarse-to-fine cascade, visually equivalent — pb_num_iters then counts
     sweeps PER LEVEL, typical 60-100), or 'cropped' (solve only the mask
     bounding box; requires concrete host-driven arrays)."""
-    del empty_value
     pre = uv_precompute_output
     uv_valid_mask = uv_validity_strategy(
         pre, uv_render_geometry_output, uv_render_attr_output
@@ -467,6 +470,14 @@ def uv_blend(
     uv_attr_blend = (
         uv_render_attr_output.uv_attr_proj * uv_blend_weight[..., None]
     ).sum(axis=0)
+
+    if pre.uv_attr is None:
+        # No original texture to stitch/Poisson against (texture-less
+        # mesh): unseen texels take empty_value, same role the original
+        # texture plays below (from-scratch bake).
+        pre = pre._replace(
+            uv_attr=jnp.full_like(uv_attr_blend, empty_value)
+        )
 
     if poisson_blending:
         assert do_uv_padding, "poisson blending requires uv padding"

@@ -254,7 +254,8 @@ def _flat_chunks(
     else the sentinel triangle T.
 
     Returns:
-      planes_flat (3, NCH*4c) — per chunk [e0|e1|e2|z] blocks, coef-major,
+      planes_flat (4, NCH*4c) — per chunk [e0|e1|e2|z] blocks, coef-major
+      with a zero 4th coefficient row (DMA sublane-tiling pad),
           constants rebased to the owning tile's origin, invalid entries'
           e0 constant = -BIG;
       sel_flat (m_sel, NCH*c) — per chunk select rows
@@ -563,6 +564,8 @@ def _gbuffer_single(
         from .gbuffer_pallas import zattr_tiles_pallas
 
         prec = config.dot_precision
+        if prec == "high":
+            prec = "highest"  # Precision.HIGH crashes Mosaic lowering
         if prec == "split_bf16" and t_total >= 2**16:
             prec = "highest"  # id-plane exactness limit
         z_t, id_t, v_t = zattr_tiles_pallas(
@@ -704,8 +707,16 @@ def _gbuffer_dma_batched(
     planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos, v_all)
 
     prec = config.dot_precision
-    if prec == "split_bf16" and t_total >= 2**24:
-        prec = "highest"  # hi/lo id rows are exact below 2^24
+    if prec == "high":
+        prec = "highest"  # Precision.HIGH crashes Mosaic lowering
+    if t_total >= 2**24:
+        # ids ride hi/lo f32 byte rows whose 256*hi + lo merge is only
+        # f32-exact below 2^24 — in EVERY precision mode. Silently
+        # rounding winner ids would corrupt downstream id lookups.
+        raise ValueError(
+            f"DMA G-buffer path supports < 2^24 triangles (got {t_total}); "
+            "decimate first (meshproc / build_lod_chain)"
+        )
     z, idm, vals = gbuffer_tiles_dma(
         planes_flat, sel_flat, start_chunks, n_chunks,
         nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],

@@ -623,7 +623,8 @@ def _kernel_dma(
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def gbuffer_tiles_dma(
-    planes_flat: jnp.ndarray,  # (B, 3, NCH*4c) chunk-major plane coefficients
+    planes_flat: jnp.ndarray,  # (B, 4, NCH*4c) chunk-major plane coefficients
+    #   (4th coefficient row is zero padding for the DMA sublane tiling)
     sel_flat: jnp.ndarray,  # (B, m_sel, NCH*c) chunk-major select rows
     start_chunks: jnp.ndarray,  # (B, n_tiles) i32
     n_chunks: jnp.ndarray,  # (B, n_tiles) i32

@@ -116,8 +116,10 @@ class RasterizerConfig(NamedTuple):
     # total replica count exceeds the cap — validate per scene by doubling).
     bin_flat_cap_factor: int = 4
     # MXU precision for the in-kernel plane matmuls: "highest" (true fp32,
-    # safest), "high" (3-pass bf16, ~fp32 accuracy, faster). Setup einsums
-    # always run at highest — their pre-rebase magnitudes are unbounded.
+    # safest) or "split_bf16" (hi/lo split, fp32 accumulation — the fast
+    # default via FAST_TPU_CONFIG). "high" (3-pass bf16) CRASHES Mosaic
+    # lowering in this jax (CLAUDE.md) — the Pallas dispatch upgrades it
+    # to "highest"; it only takes effect on the XLA backends.
     dot_precision: str = "highest"
     # How the DMA-path prep reads each output chunk's c-length window of
     # the sorted flat id list (arbitrary offsets): "shift" = two aligned
@@ -155,13 +157,28 @@ def _auto_cap(t_total: int, n_tiles: int) -> int:
 def _resolve_backend(backend: str, fused: bool) -> str:
     """Resolve backend="auto" per platform at trace time: Pallas kernels on
     TPU, XLA implementations elsewhere (CPU golden tests run the same code
-    the TPU kernels are verified against)."""
-    if backend != "auto":
-        return backend
-    on_tpu = jax.default_backend() in ("tpu", "axon")
+    the TPU kernels are verified against).
+
+    Explicit names CROSS-MAP between the two pipeline families so one
+    tuned config drives both entry points at full speed: a classic
+    ``rasterize`` call with backend="fused_pallas" (e.g. FAST_TPU_CONFIG /
+    every auto_fast_config output) takes the Pallas z/id + flat-DMA fast
+    paths instead of silently falling back to the XLA scan, and
+    ``rasterize_gbuffer`` with backend="pallas" takes the fused kernel."""
+    if backend == "auto":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if fused:
+            return "fused_pallas" if on_tpu else "fused_xla"
+        return "pallas" if on_tpu else "xla"
     if fused:
-        return "fused_pallas" if on_tpu else "fused_xla"
-    return "pallas" if on_tpu else "xla"
+        return {"pallas": "fused_pallas", "xla": "fused_xla"}.get(
+            backend, backend
+        )
+    return {
+        "fused_pallas": "pallas",
+        "vpu_pallas": "pallas",
+        "fused_xla": "xla",
+    }.get(backend, backend)
 
 # Tuned TPU fast path (gather-free fused kernel + flat binning). K is a
 # per-scene knob: it must exceed the worst-case per-tile triangle count
@@ -569,7 +586,7 @@ def _bin_triangles_sort_pairs(
     n_med: int = 0,
     med_span_y: int = 8,
     med_span_x: int = 4,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast binning: ONE sort of (tile, tri) replica pairs instead of a
     per-tile-column stable argsort (the per-column sort was ~16x more
     sorted elements and the dominant fixed cost per view).
@@ -579,7 +596,8 @@ def _bin_triangles_sort_pairs(
     ``n_huge`` triangles with a larger bbox get per-overlapped-tile
     replicas sorted into the same stream (see _bin_flat) — further huge
     triangles are dropped; callers validate with the exact path.
-    Returns (n_tiles, K) int32 padded with T."""
+    Returns (ids (n_tiles, K) int32 padded with T, live entry counts
+    (n_tiles,) int32)."""
     t_total = setup.valid.shape[0] - 1
     flat = _bin_flat(
         setup, width, height, tile_h, tile_w, span_y_max, span_x_max, n_huge,
@@ -593,6 +611,56 @@ def _bin_triangles_sort_pairs(
     ids = jnp.where(j < counts[:, None], s_tri[gather_idx], t_total)
     entry_counts = jnp.minimum(counts, k).astype(jnp.int32)
     return ids, entry_counts
+
+
+def _bin_classify(
+    setup,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    span_y_max: int,
+    span_x_max: int,
+    n_med: int,
+    med_span_y: int,
+    med_span_x: int,
+):
+    """Shared bbox->tile-range + size-tier classification for `_bin_flat`
+    (the binning) and `_binning_stats_jit` (the lossiness guard). The
+    guard's entire contract is staying bit-in-lockstep with the binning's
+    clip/span/tier rules, so this logic exists exactly ONCE — edit here
+    and both move together.
+
+    ``setup`` may be a _TriSetup or _TriSetupT (both carry `valid` and
+    feed `_bbox_vectors`). Returns (tx0, tx1, ty0, ty1, span_x, span_y,
+    on_screen, small, medium, huge); `small` is already masked by
+    on_screen, `medium`/`huge` are NOT (consumers mask at selection)."""
+    n_ty = -(-height // tile_h)
+    n_tx = -(-width // tile_w)
+    xmin, xmax, ymin, ymax = _bbox_vectors(setup)
+    tx0 = jnp.clip(jnp.floor((xmin - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((xmax + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((ymin - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((ymax + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
+    on_screen = (
+        (xmax >= 0)
+        & (xmin <= width)
+        & (ymax >= 0)
+        & (ymin <= height)
+        & setup.valid[:-1]
+    )
+    span_x = tx1 - tx0 + 1
+    span_y = ty1 - ty0 + 1
+    big = (span_x > span_x_max) | (span_y > span_y_max)
+    if n_med > 0:
+        fits_med = (span_x <= med_span_x) & (span_y <= med_span_y)
+        medium = big & fits_med
+        huge = big & ~fits_med
+    else:
+        medium = jnp.zeros_like(big)
+        huge = big
+    small = on_screen & ~big
+    return tx0, tx1, ty0, ty1, span_x, span_y, on_screen, small, medium, huge
 
 
 def _bin_flat(
@@ -632,32 +700,15 @@ def _bin_flat(
     n_tiles = n_ty * n_tx
     t_total = setup.valid.shape[0] - 1
 
-    xmin, xmax, ymin, ymax = _bbox_vectors(setup)
-    tx0 = jnp.clip(jnp.floor((xmin - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((xmax + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((ymin - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((ymax + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-    on_screen = (
-        (xmax >= 0)
-        & (xmin <= width)
-        & (ymax >= 0)
-        & (ymin <= height)
-        & setup.valid[:-1]
+    (tx0, tx1, ty0, ty1, span_x, span_y, on_screen, small, medium, huge) = (
+        _bin_classify(
+            setup, width, height, tile_h, tile_w, span_y_max, span_x_max,
+            n_med, med_span_y, med_span_x,
+        )
     )
-    span_x = tx1 - tx0 + 1
-    span_y = ty1 - ty0 + 1
-    big = (span_x > span_x_max) | (span_y > span_y_max)
-    if n_med > 0:
-        fits_med = (span_x <= med_span_x) & (span_y <= med_span_y)
-        medium = big & fits_med
-        huge = big & ~fits_med
-    else:
-        medium = jnp.zeros_like(big)
-        huge = big
-    small = on_screen & ~big
 
-    sentinel = jnp.int32(n_tiles) * jnp.int32(t_total)
     tri_idx = jnp.arange(t_total, dtype=jnp.int32)
+    sentinel = jnp.int32(n_tiles) * jnp.int32(t_total)
     # Replica pairs: key = tile * T + tri (tile-major; sentinel tiles last).
     keys = []
     for sy in range(span_y_max):
@@ -1050,29 +1101,17 @@ def _binning_stats_jit(pos, tri, resolution, config):
 
     def per_view(pos_clip):
         setup = _triangle_setup_t(pos_clip, tri, width, height)
-        xmin, xmax, ymin, ymax = _bbox_vectors(setup)
-        tx0 = jnp.clip(jnp.floor((xmin - 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-        tx1 = jnp.clip(jnp.floor((xmax + 0.5) / tile_w), 0, n_tx - 1).astype(jnp.int32)
-        ty0 = jnp.clip(jnp.floor((ymin - 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-        ty1 = jnp.clip(jnp.floor((ymax + 0.5) / tile_h), 0, n_ty - 1).astype(jnp.int32)
-        on = (
-            (xmax >= 0) & (xmin <= width) & (ymax >= 0) & (ymin <= height)
-            & setup.valid[:-1]
-        )
-        span_x = tx1 - tx0 + 1
-        span_y = ty1 - ty0 + 1
-        big = ((span_x > config.bin_span_tiles_x)
-               | (span_y > config.bin_span_tiles_y)) & on
-        if config.bin_med > 0:
-            fits_med = (
-                (span_x <= config.bin_med_span_x)
-                & (span_y <= config.bin_med_span_y)
+        # SAME classification code path as _bin_flat (the guard must stay
+        # bit-in-lockstep with the binning; see _bin_classify).
+        (tx0, tx1, ty0, ty1, span_x, span_y, on, _small, medium, huge) = (
+            _bin_classify(
+                setup, width, height, tile_h, tile_w,
+                config.bin_span_tiles_y, config.bin_span_tiles_x,
+                config.bin_med, config.bin_med_span_y, config.bin_med_span_x,
             )
-            n_med = jnp.sum(big & fits_med)
-            n_huge = jnp.sum(big & ~fits_med)
-        else:
-            n_med = jnp.int32(0)
-            n_huge = jnp.sum(big)
+        )
+        n_med = jnp.sum(medium & on)
+        n_huge = jnp.sum(huge & on)
         live = jnp.sum(jnp.where(on, span_x * span_y, 0))
         # Exact per-tile counts via a 2D difference grid + prefix sums:
         # +1 at (ty0, tx0), -1 at (ty0, tx1+1)/(ty1+1, tx0), +1 at
