@@ -383,7 +383,7 @@ def bench_config4():
         mesh, cam, 1024, 1024, 2,
         "c4_views_per_sec_4view_1024_uvtexture_10ktri",
         render_attr=True, render_depth=True, render_normal=True,
-        raster_config=_fast_cfg(),
+        raster_config=_fast_cfg(), texture_pack_mode="none",
     )
     _render_views_per_sec(
         mesh, cam, 1024, 1024, 2,

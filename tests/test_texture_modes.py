@@ -382,7 +382,8 @@ def test_render_auto_mip_honors_pack_mode():
         near=0.1, far=10.0,
     )
     base = render(
-        mesh, cam, 32, 32, render_attr=True, texture_filter_mode="auto_mip"
+        mesh, cam, 32, 32, render_attr=True, texture_filter_mode="auto_mip",
+        texture_pack_mode="none",
     )
     packed = render(
         mesh, cam, 32, 32, render_attr=True, texture_filter_mode="auto_mip",
@@ -391,3 +392,38 @@ def test_render_auto_mip_honors_pack_mode():
     d = np.abs(np.asarray(packed.attr) - np.asarray(base.attr))
     assert d.max() <= 2.0 / 255.0, d.max()
     assert d.max() > 0.0  # the packed mip chain IS engaged (re-quantized)
+
+
+def test_render_auto_pack_default():
+    """render()'s texture_pack_mode='auto' default engages the packed
+    sampler for 255-quantized textures (bit-identical) and falls back for
+    float textures (also bit-identical to pack 'none')."""
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu.render import render
+
+    rng = np.random.default_rng(4)
+    verts, faces = make_grid_mesh(8, extent=1.0)
+    uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
+    cam = get_camera(
+        elevation_deg=30.0, distance=2.5, fovy_deg=45.0, num_views=1,
+        near=0.1, far=10.0,
+    )
+    for tex in (
+        rng.integers(0, 256, size=(32, 32, 3)).astype(np.float32) / 255.0,
+        rng.random((32, 32, 3)).astype(np.float32),
+    ):
+        mesh = TexturedMesh(
+            v_pos=jnp.asarray(verts, jnp.float32),
+            t_pos_idx=jnp.asarray(faces, jnp.int32),
+            v_tex=jnp.asarray(uv, jnp.float32),
+            t_tex_idx=jnp.asarray(faces, jnp.int32),
+            texture=jnp.asarray(tex),
+        )
+        auto = render(mesh, cam, 48, 48, render_attr=True)
+        none = render(
+            mesh, cam, 48, 48, render_attr=True, texture_pack_mode="none"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(auto.attr), np.asarray(none.attr)
+        )

@@ -268,7 +268,7 @@ def render(
     texture_override: Optional[jnp.ndarray] = None,
     texture_filter_mode: str = "linear",
     texture_gather_mode: str = "vmap",
-    texture_pack_mode: str = "none",
+    texture_pack_mode: str = "auto",
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
     ssaa: int = 1,
 ) -> RenderOutput:
@@ -287,6 +287,27 @@ def render(
     Note any scene-tuned ``raster_config`` (auto_fast_config / binning
     budgets) must be sized for the SUPERSAMPLED resolution.
     """
+    if texture_pack_mode == "auto":
+        # Byte-pack the texture gather when the texture is 255-quantized
+        # (image-file sources, i.e. every GLB/PNG-loaded mesh): packed
+        # taps are bit-identical for k/255 texels (ops/texture.py).
+        # Host check on concrete arrays only; under jit tracing or for
+        # non-quantized/float textures fall back to the f32 table.
+        texture_pack_mode = "none"
+        tex_auto = texture_override if texture_override is not None else mesh.texture
+        if (
+            render_attr
+            and tex_auto is not None
+            and not isinstance(tex_auto, jax.core.Tracer)
+        ):
+            import numpy as np
+
+            a = np.asarray(tex_auto)
+            if a.size and a.min() >= 0.0 and a.max() <= 1.0:
+                r = a * 255.0
+                if np.abs(r - np.round(r)).max() <= 1e-4:
+                    texture_pack_mode = "u8"
+
     if ssaa > 1:
         out = render(
             mesh, cam, height * ssaa, width * ssaa,
