@@ -429,3 +429,41 @@ def test_uv_render_geometry_masks_without_images():
     assert geo.uv_mask_proj is not None
     assert geo.uv_mask_proj.shape == (1, 48, 48)
     assert float(geo.uv_mask_proj.max()) == 1.0
+
+
+def test_iou_rejection_defined_under_jit():
+    """jax.jit(camera_projection with masks) must have defined behavior:
+    the IoU rejection is a host decision, so under tracing it is skipped
+    with a warning instead of crashing with a TracerError (VERDICT r2 #7).
+    Eagerly, the same garbage masks still reject (return None)."""
+    import jax
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.full((32, 32, 3), 0.5, jnp.float32),
+    )
+    cam = get_camera(
+        elevation_deg=[20.0, 20.0], distance=[2.6, 2.6],
+        fovy_deg=[45.0, 45.0], azimuth_deg=[0.0, 180.0],
+    )
+    frames = jnp.full((2, 32, 32, 3), 0.25, jnp.float32)
+    # Masks that disagree completely with the silhouettes -> eager reject.
+    bad_masks = jnp.zeros((2, 32, 32), jnp.float32)
+    kw = dict(
+        uv_size=32, poisson_blending=False, uv_padding=False,
+        iou_rejection_threshold=0.8,
+    )
+    assert camera_projection(frames, mesh, cam, masks=bad_masks, **kw) is None
+
+    # Under jit the rejection is skipped (warning) and a texture comes back.
+    def fn(imgs, msks):
+        out = camera_projection(imgs, mesh, cam, masks=msks, **kw)
+        return out.uv_proj
+
+    baked = jax.jit(fn)(frames, bad_masks)
+    assert baked.shape == (32, 32, 3)
+    assert bool(jnp.isfinite(baked).all())

@@ -203,21 +203,41 @@ def camera_projection(
     )
 
     if masks_pt is not None and iou_rejection_threshold is not None:
-        given = (masks_pt > 0.5).astype(jnp.float32)
-        rendered = geo.view_mask.astype(jnp.float32)
-        inter = given * rendered
-        union = given + rendered - inter
-        iou = inter.sum((1, 2)) / union.sum((1, 2))
-        iou_min = float(iou.min())
-        if verbose:
-            print(f"Per-view IoU: {np.asarray(iou).tolist()}")
-        if iou_min < iou_rejection_threshold:
+        if isinstance(masks_pt, jax.core.Tracer) or isinstance(
+            geo.view_mask, jax.core.Tracer
+        ):
+            # IoU rejection is a HOST decision (return None / proceed) on a
+            # data-dependent scalar — impossible under jit tracing. Mirror
+            # validate_binning's Tracer guard: skip with a warning instead
+            # of crashing with a TracerError. Callers who need rejection
+            # must call eagerly; callers who jit should pass
+            # iou_rejection_threshold=None to silence this.
+            from ..utils.logging import get_logger
+
+            get_logger(__name__).warning(
+                "camera_projection: skipping IoU mask rejection under jit "
+                "tracing (host decision on a traced value); call eagerly "
+                "for rejection or pass iou_rejection_threshold=None."
+            )
+            iou_min = None
+        else:
+            given = (masks_pt > 0.5).astype(jnp.float32)
+            rendered = geo.view_mask.astype(jnp.float32)
+            inter = given * rendered
+            union = given + rendered - inter
+            iou = inter.sum((1, 2)) / union.sum((1, 2))
+            iou_min = float(iou.min())
+        if iou_min is not None:
             if verbose:
-                print(
-                    f"Minimum view IoU {iou_min} below threshold "
-                    f"{iou_rejection_threshold}, skipping camera projection"
-                )
-            return None
+                print(f"Per-view IoU: {np.asarray(iou).tolist()}")
+            if iou_min < iou_rejection_threshold:
+                if verbose:
+                    print(
+                        f"Minimum view IoU {iou_min} below threshold "
+                        f"{iou_rejection_threshold}, skipping camera "
+                        f"projection"
+                    )
+                return None
 
     if warp_images:
         assert images_background is not None

@@ -447,7 +447,13 @@ def texture(
     x = uv[..., 0] * tw - 0.5
     y = uv[..., 1] * th - 0.5
 
+    if pack_mode not in ("none", "u8"):
+        raise ValueError(f"unknown pack_mode {pack_mode!r}")
+
     if filter_mode == "nearest":
+        # pack_mode='u8' is a no-op here: nearest taps are exact texels
+        # (no blend to byte-pack), so the packed and unpacked paths are
+        # bit-identical by construction.
         ix = jnp.floor(x + 0.5).astype(jnp.int32)
         iy = jnp.floor(y + 0.5).astype(jnp.int32)
         in_range = (ix >= 0) & (ix < tw) & (iy >= 0) & (iy < th)

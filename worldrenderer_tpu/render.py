@@ -13,6 +13,7 @@ from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .camera import Camera, normalize
 from .mesh import TexturedMesh, with_normals
@@ -291,17 +292,33 @@ def render(
         # Byte-pack the texture gather when the texture is 255-quantized
         # (image-file sources, i.e. every GLB/PNG-loaded mesh): packed
         # taps are bit-identical for k/255 texels (ops/texture.py).
-        # Host check on concrete arrays only; under jit tracing or for
-        # non-quantized/float textures fall back to the f32 table.
+        # The quantization check runs ONLY on host-resident numpy input
+        # (as camera_projection's images_pack_mode='auto' does): calling
+        # np.asarray on a device-resident jax.Array would pull the whole
+        # texture back through the axon tunnel (~2 MB/s, ~6 s for a
+        # 1024^2 RGB) on EVERY eager render. Device arrays / tracers /
+        # float textures fall back to the f32 table.
+        # auto never upgrades under texture_filter_mode='auto_mip': the
+        # packed mip chain re-quantizes every downsampled level to 8 bits
+        # (lossy by up to ~2/255) — opt into that with an explicit
+        # texture_pack_mode='u8'.
         texture_pack_mode = "none"
         tex_auto = texture_override if texture_override is not None else mesh.texture
+        checkable = isinstance(tex_auto, np.ndarray)
         if (
-            render_attr
-            and tex_auto is not None
+            not checkable
+            and isinstance(tex_auto, jax.Array)
             and not isinstance(tex_auto, jax.core.Tracer)
         ):
-            import numpy as np
-
+            # Concrete arrays already on a host (CPU) backend are a memcpy
+            # away; anything on an accelerator stays un-inspected.
+            try:
+                checkable = all(
+                    d.platform == "cpu" for d in tex_auto.devices()
+                )
+            except Exception:
+                checkable = False
+        if render_attr and texture_filter_mode != "auto_mip" and checkable:
             a = np.asarray(tex_auto)
             if a.size and a.min() >= 0.0 and a.max() <= 1.0:
                 r = a * 255.0
