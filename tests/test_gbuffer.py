@@ -290,3 +290,120 @@ def test_chunk_slice_modes_bit_identical():
     np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
     np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
     np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))
+
+
+def _split_uv_grid(n=16):
+    """Grid mesh with a genuine UV seam: the middle vertex column is
+    duplicated in UV space (right-half faces index a shifted copy), so
+    v_tex has its own topology (v_tex.shape[0] != v_pos.shape[0]) like a
+    real atlas-packed GLB."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+
+    verts, faces = make_grid_mesh(
+        n, extent=1.0, height_fn=lambda x, y: 0.25 * np.sin(2 * x + y)
+    )
+    uv = (verts[:, :2] - verts[:, :2].min(0)) / np.ptp(verts[:, :2], 0)
+    uv = uv * 0.45 + 0.05
+    mid = n // 2
+    col = np.arange(n * n) % n
+    mid_vtx = np.where(col == mid)[0]
+    alt_uv = uv[mid_vtx] + np.array([0.5, 0.0])
+    v_tex = np.concatenate([uv, alt_uv], axis=0)
+    alt_index = {int(v): n * n + i for i, v in enumerate(mid_vtx)}
+    t_tex = faces.copy()
+    face_cols = col[faces]
+    right = face_cols.max(axis=1) > mid  # faces touching the right half
+    for fi in np.where(right)[0]:
+        for k in range(3):
+            t_tex[fi, k] = alt_index.get(int(faces[fi, k]), int(faces[fi, k]))
+    assert not np.array_equal(t_tex, faces)
+    tex = np.linspace(0, 1, 64 * 64 * 3, dtype=np.float32).reshape(64, 64, 3)
+    return TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(v_tex, jnp.float32),
+        t_tex_idx=jnp.asarray(t_tex, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+
+
+def test_unify_mesh_uv_preserves_classic_render():
+    """unify_mesh_uv is semantics-preserving: the classic pipeline renders
+    the seam-cut mesh identically to the original split-UV mesh — exact
+    coverage (same triangles, same winners) and ULP-close float channels
+    (the duplicated/reordered vertex tables compile to differently-tiled
+    einsums, so FMA association differs; the per-face corner VALUES are
+    bit-equal). Stitched normal semantics are baked into the mapped v_nrm,
+    so seams stay smooth."""
+    from worldrenderer_tpu.mesh import unify_mesh_uv
+    from worldrenderer_tpu.render import render
+
+    split = _split_uv_grid()
+    unified = unify_mesh_uv(split)
+    assert unified.v_tex.shape[0] == unified.v_pos.shape[0]
+    assert unified.v_pos.shape[0] > split.v_pos.shape[0]  # seam duplicated
+    # Already-unified meshes pass through untouched.
+    assert unify_mesh_uv(unified) is unified
+
+    cam = get_camera(
+        elevation_deg=35.0, distance=2.8, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    cfg = RasterizerConfig(backend="xla")
+    a = render(split, cam, H, W, render_attr=True, render_depth=True,
+               render_normal=True, raster_config=cfg)
+    b = render(unified, cam, H, W, render_attr=True, render_depth=True,
+               render_normal=True, raster_config=cfg)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    for f in ("attr", "depth", "normal", "pos"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)),
+            atol=1e-5, err_msg=f,
+        )
+
+
+def test_render_auto_unifies_split_uv():
+    """backend='auto' seam-cuts concrete split-UV meshes on the fly and
+    takes the fused fast path (VERDICT r2 #2): output must bit-match an
+    explicit fused render of the unified mesh, and stay within the usual
+    fused-vs-classic tolerance of the split mesh's classic render."""
+    from worldrenderer_tpu.mesh import unify_mesh_uv
+    from worldrenderer_tpu.render import render
+
+    split = _split_uv_grid()
+    cam = get_camera(
+        elevation_deg=35.0, distance=2.8, fovy_deg=45.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    auto = render(split, cam, H, W, render_attr=True, render_depth=True,
+                  render_normal=True)
+    fused = render(unify_mesh_uv(split), cam, H, W, render_attr=True,
+                   render_depth=True, render_normal=True,
+                   raster_config=RasterizerConfig(backend="fused_xla"))
+    for f in ("mask", "attr", "depth", "normal", "pos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(auto, f)), np.asarray(getattr(fused, f)),
+            err_msg=f,
+        )
+
+    classic = render(split, cam, H, W, render_attr=True, render_depth=True,
+                     render_normal=True,
+                     raster_config=RasterizerConfig(backend="xla"))
+    m = np.asarray(classic.mask)
+    np.testing.assert_array_equal(m, np.asarray(auto.mask))
+    np.testing.assert_allclose(
+        np.asarray(auto.normal)[m], np.asarray(classic.normal)[m], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(auto.attr)[m], np.asarray(classic.attr)[m], atol=2e-2
+    )
+
+    # Traced split meshes cannot be cut host-side: auto must still produce
+    # a defined (classic-path) render under jit.
+    import jax
+
+    jit_out = jax.jit(
+        lambda m_, c_: render(m_, c_, H, W, render_attr=True,
+                              render_depth=False, render_normal=False)
+    )(split, cam)
+    np.testing.assert_array_equal(np.asarray(jit_out.mask), m)

@@ -23,6 +23,7 @@ from .mesh import (
     icosphere,
     load_mesh,
     make_grid_mesh,
+    unify_mesh_uv,
     with_normals,
 )
 from .lod import LODChain, build_lod_chain, select_lod_level
@@ -54,6 +55,7 @@ __all__ = [
     "compute_vertex_tangents",
     "with_normals",
     "load_mesh",
+    "unify_mesh_uv",
     "icosphere",
     "make_grid_mesh",
     "RasterizerConfig",

@@ -28,6 +28,7 @@ __all__ = [
     "load_mesh",
     "mesh_use_texture",
     "merge_duplicate_vertices",
+    "unify_mesh_uv",
     "icosphere",
     "make_grid_mesh",
     "uv_sphere_mesh",
@@ -170,6 +171,92 @@ def merge_duplicate_vertices(
     merged_vertices = np.asarray(vertices)[first_idx]
     merged_faces = inverse[np.asarray(faces)]
     return merged_vertices, merged_faces
+
+
+def unify_mesh_uv(mesh: TexturedMesh) -> TexturedMesh:
+    """Seam-cut a split-UV mesh into unified per-vertex-UV indexing so it
+    rides the fused fast path (`render` requires per-primary-vertex UVs;
+    nvdiffrast pays nothing for a separate ``t_tex_idx`` — reference
+    mesh_utils/render.py:260-272 — so real GLBs must not fall back to the
+    ~3.5x-slower classic pipeline here).
+
+    One output vertex per unique ``(pos_idx, tex_idx)`` corner pair; faces
+    keep their order, so rasterization is value-identical. Seam semantics
+    are preserved by BAKING them into per-vertex data before the cut:
+    normals (and tangents) are computed on the original position topology —
+    where seam-adjacent faces still share vertices — and mapped onto the
+    duplicated vertices, so lighting stays smooth across UV seams exactly
+    like the classic path's stitched interpolation.
+
+    Host-side (numpy) utility: call it at load time / once per mesh, not
+    inside jit. Meshes that are already unified are returned unchanged.
+    """
+    if mesh.v_tex is None or mesh.t_tex_idx is None:
+        return mesh
+    pos_idx = np.asarray(mesh.t_pos_idx)
+    tex_idx = np.asarray(mesh.t_tex_idx)
+    if mesh.v_tex.shape[0] == mesh.v_pos.shape[0] and np.array_equal(
+        pos_idx, tex_idx
+    ):
+        return mesh
+
+    v_pos = np.asarray(mesh.v_pos)
+    v_tex = np.asarray(mesh.v_tex)
+    key = pos_idx.reshape(-1).astype(np.int64) << 32 | tex_idx.reshape(
+        -1
+    ).astype(np.int64)
+    _, first, inverse = np.unique(key, return_index=True, return_inverse=True)
+    src_pos = pos_idx.reshape(-1)[first]  # unified -> original position vtx
+    src_tex = tex_idx.reshape(-1)[first]
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+
+    # Smooth seam data: normals over the ORIGINAL position topology (shared
+    # vertices across seams), then scatter to the duplicated vertices.
+    v_nrm = mesh.v_nrm
+    if v_nrm is None or v_nrm.shape[0] != mesh.v_pos.shape[0]:
+        v_nrm = compute_vertex_normals(mesh.v_pos, mesh.t_pos_idx)
+    v_nrm_u = jnp.asarray(np.asarray(v_nrm)[src_pos])
+    v_tang_u = None
+    if mesh.v_tang is not None and mesh.v_tang.shape[0] == mesh.v_pos.shape[0]:
+        v_tang_u = jnp.asarray(np.asarray(mesh.v_tang)[src_pos])
+
+    u_pos = jnp.asarray(v_pos[src_pos], jnp.float32)
+    return TexturedMesh(
+        v_pos=u_pos,
+        t_pos_idx=jnp.asarray(faces),
+        v_tex=jnp.asarray(v_tex[src_tex], jnp.float32),
+        t_tex_idx=jnp.asarray(faces),
+        texture=mesh.texture,
+        # Seam averaging is baked into v_nrm, so the unified topology IS the
+        # stitched topology from here on (keeps the classic path consistent:
+        # it interpolates v_nrm over stitched_t_pos_idx).
+        stitched_v_pos=u_pos,
+        stitched_t_pos_idx=jnp.asarray(faces),
+        v_nrm=v_nrm_u,
+        v_tang=v_tang_u,
+    )
+
+
+# Tiny strong-ref memo for render()'s on-the-fly unification: keyed by the
+# identity of the mesh's index/UV arrays; values hold the ORIGINAL arrays
+# too, so a live cache entry pins them and their ids cannot be recycled.
+_UNIFY_CACHE: dict = {}
+_UNIFY_CACHE_CAP = 8
+
+
+def _unify_cached(mesh: TexturedMesh) -> TexturedMesh:
+    k = (
+        id(mesh.v_pos), id(mesh.v_tex), id(mesh.t_pos_idx),
+        id(mesh.t_tex_idx), id(mesh.v_nrm),
+    )
+    hit = _UNIFY_CACHE.get(k)
+    if hit is not None:
+        return hit[1]._replace(texture=mesh.texture)
+    out = unify_mesh_uv(mesh)
+    if len(_UNIFY_CACHE) >= _UNIFY_CACHE_CAP:
+        _UNIFY_CACHE.pop(next(iter(_UNIFY_CACHE)))
+    _UNIFY_CACHE[k] = (mesh, out)
+    return out
 
 
 def _load_obj(path: str):

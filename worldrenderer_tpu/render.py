@@ -354,27 +354,37 @@ def render(
             return x.reshape(b, height, ssaa, width, ssaa, c).mean((2, 4))
 
         return RenderOutput(**{k: down(v) for k, v in out._asdict().items()})
-    mesh = with_normals(mesh, compute_tangents=render_tangent)
-
-    v_pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
-
     if raster_config.backend == "auto":
-        # Prefer the fused G-buffer path; it requires per-primary-vertex UVs
-        # for attr rendering, so split UV topologies fall back to the classic
-        # rasterize + interpolate pipeline.
-        import jax as _jax
-
-        on_tpu = _jax.default_backend() in ("tpu", "axon")
-        fused_ok = not (
+        # Prefer the fused G-buffer path; it requires per-primary-vertex
+        # UVs for attr rendering. Split-UV (seamed) topologies are seam-cut
+        # to unified indexing on the fly (host-side, memoized per mesh) so
+        # real GLBs keep fused speed — matching nvdiffrast, which pays
+        # nothing for a separate t_tex_idx (reference render.py:260-272).
+        # Under jit tracing the cut is impossible (host numpy), so traced
+        # split meshes fall back to the classic pipeline.
+        split_uv = (
             render_attr
             and mesh.v_tex is not None
             and mesh.v_tex.shape[0] != mesh.v_pos.shape[0]
         )
-        if fused_ok:
+        if split_uv and not any(
+            isinstance(a, jax.core.Tracer)
+            for a in (mesh.v_pos, mesh.v_tex, mesh.t_pos_idx, mesh.t_tex_idx)
+        ):
+            from .mesh import _unify_cached
+
+            mesh = _unify_cached(mesh)
+            split_uv = False
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if not split_uv:
             backend = "fused_pallas" if on_tpu else "fused_xla"
         else:
             backend = "pallas" if on_tpu else "xla"
         raster_config = raster_config._replace(backend=backend)
+
+    mesh = with_normals(mesh, compute_tangents=render_tangent)
+
+    v_pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
 
     if raster_config.backend in ("fused_xla", "fused_pallas"):
         return _render_fused(
