@@ -670,6 +670,74 @@ def bench_projection_full():
     )
 
 
+def bench_bake4k():
+    """The reference's flagship bake workload: camera_projection at
+    uv_size 4096 (mvadapter/test/README.md:73, pipeline_texture.py:206),
+    6 views at 768^2, run through the TEXEL-SHARDED program
+    (parallel/bake.py) on however many chips are attached (1 on the
+    single-chip bench host — same program, mesh size 1). Emits end-to-end
+    seconds per bake; compile excluded via second-call timing.
+
+    The per-view texel maps at 4096^2 x 6 views are ~4.8 GB — the
+    single-device eager path fits a v5e only barely; the sharded program
+    is the shipped path for this size (its per-chip memory is validated on
+    the 8-device mesh in dryrun_multichip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.baking.projection import camera_projection
+    from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+    from worldrenderer_tpu.parallel import make_device_mesh
+
+    uv_size = 4096
+    n_views, res = 6, 768
+    verts, faces, uv = uv_sphere_mesh(65, 129)
+    tex = np.full((uv_size, uv_size, 3), 0.25, np.float32)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=20.0, distance=2.7, fovy_deg=40.0, num_views=n_views,
+        near=0.1, far=10.0,
+    )
+    from worldrenderer_tpu.render import render
+
+    views = render(mesh, cam, res, res, render_attr=True).attr
+    cfg = _projection_auto_cfg(mesh, cam, res, uv_size)
+    dm = make_device_mesh(axis_names=("uv",))
+    # texel_chunks sized so per-chip texel maps stay ~1/8 of the one-shot
+    # program (which needed 19.2 GB at compile — over a v5e's 15.7 GB).
+    chunks = max(1, 8 // len(dm.devices.flat))
+    kw = dict(
+        uv_size=uv_size, poisson_blending=False,
+        iou_rejection_threshold=None, raster_config=cfg, device_mesh=dm,
+        texel_chunks=chunks,
+    )
+
+    def one_bake(seed):
+        out = camera_projection(views + seed * 1e-9, mesh, cam, **kw)
+        return float(jnp.sum(jnp.abs(out.uv_proj)))
+
+    v = one_bake(0.0)  # compile
+    assert np.isfinite(v)
+    samples = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        v = one_bake(float(i + 1))
+        samples.append(time.perf_counter() - t0)
+        assert np.isfinite(v)
+    _emit_secs(
+        f"bake4k_sharded_e2e_sec_uv{uv_size}_{n_views}view_{res}_"
+        f"{len(dm.devices.flat)}chip",
+        samples,
+    )
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "headline"
     benches = {
@@ -682,6 +750,7 @@ def main():
         "stress1m": bench_stress1m,
         "projection": bench_projection,
         "projection_full": bench_projection_full,
+        "bake4k": bench_bake4k,
     }
     if which == "all":
         for fn in benches.values():

@@ -203,3 +203,183 @@ def test_uv_projection_sharded_matches_single(small_scene):
     views_s = jax.device_put(views, shard)
     out = jax.jit(project)(mesh_s, cam_s, views_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Texel-axis sharding (SURVEY §5.7 second half: big UV bakes across chips)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bake_scene():
+    rng = np.random.default_rng(7)
+    verts, faces, uv = uv_sphere_mesh(33, 65)
+    tex = np.full((256, 256, 3), 0.25, np.float32)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=[15.0] * 4, distance=[2.6] * 4, fovy_deg=[45.0] * 4,
+        azimuth_deg=[0.0, 90.0, 180.0, 270.0],
+    )
+    frames = rng.integers(0, 256, size=(4, 64, 64, 3)).astype(np.float32) / 255.0
+    return mesh, cam, frames
+
+
+def test_texel_sharded_bake_matches_single(bake_scene):
+    """camera_projection(device_mesh=...) shards the UV texel axis in row
+    bands over the chips; results must match the single-device bake (the
+    band programs are arithmetically identical — tolerances cover per-shape
+    FMA tiling differences only) and the big outputs must COME BACK row-
+    sharded (a replicated (Nv, Huv, Wuv) output would silently all-gather)."""
+    from worldrenderer_tpu.baking.projection import camera_projection
+
+    mesh, cam, frames = bake_scene
+    kw = dict(uv_size=256, poisson_blending=False,
+              iou_rejection_threshold=None)
+    ref = camera_projection(frames, mesh, cam, **kw)
+    dm = make_device_mesh(axis_names=("uv",))
+    out = camera_projection(frames, mesh, cam, device_mesh=dm, **kw)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref.uv_proj_mask), np.asarray(out.uv_proj_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.uv_proj), np.asarray(out.uv_proj), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.uv_aoi_cos), np.asarray(out.uv_aoi_cos), atol=1e-5
+    )
+    # depth grads ride view-depth values of magnitude ~1e2 (bg sentinel).
+    np.testing.assert_allclose(
+        np.asarray(ref.uv_depth_grad), np.asarray(out.uv_depth_grad),
+        atol=1e-2,
+    )
+
+    assert out.uv_proj.sharding.spec == P("uv")
+    assert out.uv_proj_mask.sharding.spec == P("uv")
+    assert out.uv_depth_grad.sharding.spec == P(None, "uv")
+    assert out.uv_aoi_cos.sharding.spec == P(None, "uv")
+
+
+def test_texel_sharded_bake_poisson_and_masks(bake_scene):
+    """Sharded bake with the full post-pass (Poisson + padding) and masks:
+    matches single-device, and garbage masks reject (None) through the
+    eager IoU path."""
+    from worldrenderer_tpu.baking.projection import camera_projection
+    from worldrenderer_tpu.render import render as _render
+
+    mesh, cam, frames = bake_scene
+    sil = _render(mesh, cam, 64, 64, render_attr=False, render_depth=False,
+                  render_normal=False).mask.astype(np.float32)
+    kw = dict(uv_size=256, poisson_blending=True, pb_num_iters=40,
+              iou_rejection_threshold=0.8)
+    ref = camera_projection(frames, mesh, cam, masks=sil, **kw)
+    dm = make_device_mesh(axis_names=("uv",))
+    out = camera_projection(frames, mesh, cam, masks=sil, device_mesh=dm, **kw)
+    assert ref is not None and out is not None
+    np.testing.assert_allclose(
+        np.asarray(ref.uv_proj), np.asarray(out.uv_proj), atol=1e-4
+    )
+    # Garbage masks -> IoU rejection, same contract as the eager bake.
+    bad = np.zeros_like(np.asarray(sil))
+    assert camera_projection(
+        frames, mesh, cam, masks=bad, device_mesh=dm, **kw
+    ) is None
+
+
+def test_texel_sharded_bake_memory_drops(bake_scene):
+    """The point of texel sharding: the bake core's per-chip TEXEL-term
+    memory must drop roughly by the mesh size. Compiles the SAME core
+    function once replicated (single device) and once under shard_map over
+    8 chips and compares XLA's per-device temp_size_in_bytes. The view
+    render contributes a texel-independent base temp (replicated by design
+    — views are small next to the atlas), so the assertion subtracts it and
+    checks the texel-dependent remainder."""
+    import jax
+    from jax.sharding import PartitionSpec
+    try:
+        from jax import shard_map
+        smap = lambda f, m, i, o: shard_map(
+            f, mesh=m, in_specs=i, out_specs=o, check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _sm
+        smap = lambda f, m, i, o: _sm(
+            f, mesh=m, in_specs=i, out_specs=o, check_rep=False)
+
+    from worldrenderer_tpu.baking.uv import (
+        UVPrecomputeOutput, uv_blend_sum, uv_precompute, uv_render_attr,
+        uv_render_geometry,
+    )
+
+    from worldrenderer_tpu.render import render as _render
+
+    mesh, cam, frames = bake_scene
+    uv_size = 512
+    pre = uv_precompute(mesh, uv_size, uv_size)
+
+    def core(images, uv_attr, uv_mask, uv_pos):
+        pre_b = UVPrecomputeOutput(
+            height=uv_pos.shape[0], width=uv_pos.shape[1],
+            uv_attr=uv_attr, uv_mask=uv_mask, uv_pos=uv_pos,
+        )
+        geo = uv_render_geometry(mesh, cam, 64, 64, pre_b,
+                                 compute_depth_grad=True)
+        attr = uv_render_attr(jnp.asarray(images, jnp.float32), geo)
+        return uv_blend_sum(pre_b, geo, attr).uv_attr_blend
+
+    # Texel-independent base: the per-view G-buffer render (replicated on
+    # every chip by design).
+    base = jax.jit(
+        lambda: _render(mesh, cam, 64, 64, render_attr=False)
+    ).lower().compile().memory_analysis().temp_size_in_bytes
+
+    args = (jnp.asarray(frames), pre.uv_attr, pre.uv_mask, pre.uv_pos)
+    single = jax.jit(core).lower(*args).compile().memory_analysis()
+
+    dm = make_device_mesh(axis_names=("uv",))
+    row = PartitionSpec("uv")
+    sharded_core = smap(
+        core, dm, (PartitionSpec(), row, row, row), row
+    )
+    sharded = jax.jit(sharded_core).lower(*args).compile().memory_analysis()
+
+    n = dm.shape["uv"]
+    single_texel = single.temp_size_in_bytes - base
+    sharded_texel = max(sharded.temp_size_in_bytes - base, 1)
+    assert single_texel > 0, (single.temp_size_in_bytes, base)
+    assert sharded_texel < single_texel / (n / 2), (
+        f"texel sharding should cut the per-chip texel-term memory ~{n}x: "
+        f"single_texel={single_texel} sharded_texel={sharded_texel} "
+        f"(base={base})"
+    )
+
+
+def test_texel_sharded_bake_chunked(bake_scene):
+    """texel_chunks processes each device's band in sequential row chunks
+    (single-chip 4096^2 enabler): must match the unchunked sharded bake."""
+    from worldrenderer_tpu.baking.projection import camera_projection
+
+    mesh, cam, frames = bake_scene
+    kw = dict(uv_size=256, poisson_blending=False,
+              iou_rejection_threshold=None)
+    ref = camera_projection(frames, mesh, cam, **kw)
+    dm = make_device_mesh(axis_names=("uv",))
+    out = camera_projection(
+        frames, mesh, cam, device_mesh=dm, texel_chunks=2, **kw
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.uv_proj_mask), np.asarray(out.uv_proj_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.uv_proj), np.asarray(out.uv_proj), atol=1e-5
+    )
+    assert out.uv_proj.sharding.spec == P("uv")
+    with pytest.raises(ValueError, match="divide"):
+        camera_projection(
+            frames, mesh, cam, device_mesh=dm, texel_chunks=3, **kw
+        )

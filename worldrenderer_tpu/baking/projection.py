@@ -121,8 +121,17 @@ def camera_projection(
     verbose: bool = False,
     validate_binning: bool = True,
     images_pack_mode: str = "auto",
+    device_mesh=None,
+    device_mesh_axis: str = "uv",
+    texel_chunks: int = 1,
 ) -> Optional[CameraProjectionOutput]:
     """Project multi-view images onto the mesh's UV texture.
+
+    ``device_mesh``: a ``jax.sharding.Mesh`` to shard the UV texel axis
+    across chips (SURVEY §5.7 — big 2048–4096² bakes whose per-view texel
+    maps exceed one chip's HBM). Routes to
+    :func:`..parallel.bake.sharded_camera_projection`; see its docstring
+    for the few keyword differences (warp/bg-removal run beforehand).
 
     Returns None when the given masks disagree with the rendered silhouettes
     by more than ``iou_rejection_threshold`` (projection.py:126-138) — a host
@@ -134,6 +143,45 @@ def camera_projection(
     dropping triangles (the budgets are per-scene knobs; see
     ops.rasterize.binning_stats). Skipped automatically under jit tracing.
     """
+    if device_mesh is not None:
+        if warp_images or remove_bg or bg_remover is not None:
+            raise ValueError(
+                "device_mesh bakes take pre-warped / pre-matted images: run "
+                "compute_warp_field / the bg remover on the views first "
+                "(both are view-space, orthogonal to texel sharding)"
+            )
+        from ..parallel.bake import sharded_camera_projection
+
+        return sharded_camera_projection(
+            images, mesh, cam,
+            device_mesh=device_mesh,
+            axis_name=device_mesh_axis,
+            masks=masks,
+            fovy_deg=fovy_deg,
+            c2w=c2w,
+            elevation_deg=elevation_deg,
+            distance=distance,
+            azimuth_deg=azimuth_deg,
+            num_views=num_views,
+            uv_size=uv_size,
+            iou_rejection_threshold=iou_rejection_threshold,
+            aoi_cos_valid_threshold=aoi_cos_valid_threshold,
+            depth_grad_dilation=depth_grad_dilation,
+            depth_grad_threshold=depth_grad_threshold,
+            uv_exp_blend_alpha=uv_exp_blend_alpha,
+            uv_exp_blend_view_weight=uv_exp_blend_view_weight,
+            poisson_blending=poisson_blending,
+            pb_num_iters=pb_num_iters,
+            pb_keep_original_border=pb_keep_original_border,
+            from_scratch=from_scratch,
+            uv_padding=uv_padding,
+            raster_config=raster_config,
+            verbose=verbose,
+            validate_binning=validate_binning,
+            images_pack_mode=images_pack_mode,
+            texel_chunks=texel_chunks,
+        )
+
     if images_pack_mode == "auto":
         # Byte-pack the view->UV gather when the images are 255-quantized
         # (file-sourced frames are k/255 by construction — then the packed

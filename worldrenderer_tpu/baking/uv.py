@@ -37,8 +37,13 @@ __all__ = [
     "RandomChoiceBlend",
     "uv_precompute",
     "uv_render_geometry",
+    "UVViewGeometry",
+    "uv_view_geometry",
+    "uv_gather_geometry",
     "uv_render_attr",
     "uv_blend",
+    "uv_blend_sum",
+    "uv_blend_post",
     "uv_padding",
 ]
 
@@ -117,44 +122,34 @@ class UVRenderGeometryOutput(NamedTuple):
     uv_mask_proj: Optional[jnp.ndarray] = None
 
 
-def uv_render_geometry(
+class UVViewGeometry(NamedTuple):
+    """View-space half of :func:`uv_render_geometry` (texel-free): the
+    rendered per-view maps every texel gathers from. Compute once, gather
+    many — the texel-sharded/chunked bake hoists this out of its band loop
+    so views are not re-rendered per texel chunk."""
+
+    view_mask: jnp.ndarray
+    view_normal: jnp.ndarray
+    view_aoi_cos: jnp.ndarray
+    view_position: jnp.ndarray
+    view_depth: jnp.ndarray
+    view_depth_grad: Optional[jnp.ndarray] = None
+    view_attr: Optional[jnp.ndarray] = None
+
+
+def uv_view_geometry(
     mesh: TexturedMesh,
     cam: Camera,
     view_height: int,
     view_width: int,
-    uv_precompute_output: UVPrecomputeOutput,
-    grid_sample_mode: str = "bilinear",
     compute_depth_grad: bool = False,
     depth_grad_dilation: int = 1,
     render_attr: bool = False,
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
-    sample_images: Optional[jnp.ndarray] = None,
-    sample_masks: Optional[jnp.ndarray] = None,
-    images_pack_mode: str = "none",
-) -> UVRenderGeometryOutput:
-    """Per-view geometric correspondence for every texel (reference
-    uv.py:72-184): project texel world-pos into each view, render view
-    G-buffers, compute aoi-cos, occlusion-boundary depth gradient, and sample
-    the view maps back to UV space.
-
-    ``sample_images`` (Nv, H, W, C): also gather these view images into UV
-    space IN THE SAME row gather (outputs land in ``uv_attr_proj`` /
-    ``uv_mask_proj``). The view->UV gathers dominate the projection's
-    device time (two ~25M-row gathers at the TPU emitter's per-row floor
-    were 83% of the traced bake), and both sample at identical NDC coords,
-    so fusing halves the projection's gather rows; results are
-    bit-identical to a separate :func:`uv_render_attr` call.
-    ``images_pack_mode='u8'`` additionally byte-packs the image columns
-    (exact for 255-quantized frames)."""
-    pre = uv_precompute_output
-    batch_size = len(cam)
-    height, width, _ = pre.uv_pos.shape
-
-    uv_pos_clip = get_clip_space_position(
-        pre.uv_pos.reshape(-1, 3), cam.mvp_mtx
-    ).reshape(batch_size, height, width, 4)
-    uv_pos_ndc = uv_pos_clip[..., :2] / uv_pos_clip[..., 3:4]
-
+) -> UVViewGeometry:
+    """Render the per-view G-buffers + derived maps (aoi-cos in camera
+    space, dilated depth-gradient) that :func:`uv_gather_geometry` samples
+    per texel. Reference uv.py:86-130."""
     mesh = with_normals(mesh)
     out = render(
         mesh,
@@ -185,23 +180,57 @@ def uv_render_geometry(
 
     view_depth = out.depth
     view_depth_grad = None
-    uv_depth_grad = None
     if compute_depth_grad:
         view_depth_grad = sobel_grad_magnitude(view_depth)
         view_depth_grad = max_pool2d(view_depth_grad, depth_grad_dilation)
+
+    return UVViewGeometry(
+        view_mask=view_mask,
+        view_normal=view_normal,
+        view_aoi_cos=view_aoi_cos,
+        view_position=view_position,
+        view_depth=view_depth,
+        view_depth_grad=view_depth_grad,
+        view_attr=out.attr if render_attr else None,
+    )
+
+
+def uv_gather_geometry(
+    view_geo: UVViewGeometry,
+    cam: Camera,
+    uv_precompute_output: UVPrecomputeOutput,
+    grid_sample_mode: str = "bilinear",
+    sample_images: Optional[jnp.ndarray] = None,
+    sample_masks: Optional[jnp.ndarray] = None,
+    images_pack_mode: str = "none",
+) -> UVRenderGeometryOutput:
+    """Texel-space half of :func:`uv_render_geometry`: project each texel's
+    world position into every view and gather the view maps (and optional
+    images/masks) at those coordinates. Row-local in the UV image — this is
+    the piece the multi-chip bake shards / the chunked bake scans."""
+    pre = uv_precompute_output
+    batch_size = len(cam)
+    height, width, _ = pre.uv_pos.shape
+    compute_depth_grad = view_geo.view_depth_grad is not None
+
+    uv_pos_clip = get_clip_space_position(
+        pre.uv_pos.reshape(-1, 3), cam.mvp_mtx
+    ).reshape(batch_size, height, width, 4)
+    uv_pos_ndc = uv_pos_clip[..., :2] / uv_pos_clip[..., 3:4]
 
     # All view maps sample at the SAME ndc coords — fuse them into ONE
     # grid_sample call (gathers are row-count bound on TPU: one 4/5-channel
     # gather costs ~the same as one 1-channel gather, so separate calls pay
     # 3x the rows for nothing). sample_images/sample_masks ride the same
     # row gather as extra table columns (grid_sample_parts).
-    stack = [view_position, view_aoi_cos[..., None]]
+    stack = [view_geo.view_position, view_geo.view_aoi_cos[..., None]]
     if compute_depth_grad:
-        stack.append(view_depth_grad[..., None])
+        stack.append(view_geo.view_depth_grad[..., None])
     n_geo = sum(s.shape[-1] for s in stack)
     parts = [(jnp.concatenate(stack, axis=-1), "none")]
     uv_attr_proj = None
     uv_mask_proj = None
+    uv_depth_grad = None
     if sample_masks is not None and sample_masks.ndim == 4:
         sample_masks = sample_masks.mean(-1)
     if sample_images is not None:
@@ -240,16 +269,64 @@ def uv_render_geometry(
         uv_pos_error=uv_pos_error,
         uv_aoi_cos=uv_aoi_cos,
         uv_pos_ndc=uv_pos_ndc,
-        view_mask=view_mask,
-        view_position=view_position,
-        view_normal=view_normal,
-        view_aoi_cos=view_aoi_cos,
-        view_depth=view_depth,
-        view_depth_grad=view_depth_grad,
+        view_mask=view_geo.view_mask,
+        view_position=view_geo.view_position,
+        view_normal=view_geo.view_normal,
+        view_aoi_cos=view_geo.view_aoi_cos,
+        view_depth=view_geo.view_depth,
+        view_depth_grad=view_geo.view_depth_grad,
         uv_depth_grad=uv_depth_grad,
-        view_attr=out.attr if render_attr else None,
+        view_attr=view_geo.view_attr,
         uv_attr_proj=uv_attr_proj,
         uv_mask_proj=uv_mask_proj,
+    )
+
+
+def uv_render_geometry(
+    mesh: TexturedMesh,
+    cam: Camera,
+    view_height: int,
+    view_width: int,
+    uv_precompute_output: UVPrecomputeOutput,
+    grid_sample_mode: str = "bilinear",
+    compute_depth_grad: bool = False,
+    depth_grad_dilation: int = 1,
+    render_attr: bool = False,
+    raster_config: RasterizerConfig = DEFAULT_CONFIG,
+    sample_images: Optional[jnp.ndarray] = None,
+    sample_masks: Optional[jnp.ndarray] = None,
+    images_pack_mode: str = "none",
+) -> UVRenderGeometryOutput:
+    """Per-view geometric correspondence for every texel (reference
+    uv.py:72-184): project texel world-pos into each view, render view
+    G-buffers, compute aoi-cos, occlusion-boundary depth gradient, and sample
+    the view maps back to UV space. Composition of :func:`uv_view_geometry`
+    (view-space, texel-free) and :func:`uv_gather_geometry` (texel-space,
+    row-local) — use the pieces directly to hoist view rendering out of
+    texel-sharded/chunked loops.
+
+    ``sample_images`` (Nv, H, W, C): also gather these view images into UV
+    space IN THE SAME row gather (outputs land in ``uv_attr_proj`` /
+    ``uv_mask_proj``). The view->UV gathers dominate the projection's
+    device time (two ~25M-row gathers at the TPU emitter's per-row floor
+    were 83% of the traced bake), and both sample at identical NDC coords,
+    so fusing halves the projection's gather rows; results are
+    bit-identical to a separate :func:`uv_render_attr` call.
+    ``images_pack_mode='u8'`` additionally byte-packs the image columns
+    (exact for 255-quantized frames)."""
+    view_geo = uv_view_geometry(
+        mesh, cam, view_height, view_width,
+        compute_depth_grad=compute_depth_grad,
+        depth_grad_dilation=depth_grad_dilation,
+        render_attr=render_attr,
+        raster_config=raster_config,
+    )
+    return uv_gather_geometry(
+        view_geo, cam, uv_precompute_output,
+        grid_sample_mode=grid_sample_mode,
+        sample_images=sample_images,
+        sample_masks=sample_masks,
+        images_pack_mode=images_pack_mode,
     )
 
 
@@ -440,6 +517,45 @@ def uv_blend(
     (coarse-to-fine cascade, visually equivalent — pb_num_iters then counts
     sweeps PER LEVEL, typical 60-100), or 'cropped' (solve only the mask
     bounding box; requires concrete host-driven arrays)."""
+    out = uv_blend_sum(
+        uv_precompute_output,
+        uv_render_geometry_output,
+        uv_render_attr_output,
+        uv_validity_strategy=uv_validity_strategy,
+        uv_blend_weight_strategy=uv_blend_weight_strategy,
+    )
+    if out.uv_attr_blend is None:
+        return out
+    uv_attr_blend = uv_blend_post(
+        uv_precompute_output,
+        out.uv_attr_blend,
+        out.uv_valid_mask_blend,
+        empty_value=empty_value,
+        do_uv_padding=do_uv_padding,
+        uv_padding_radius=uv_padding_radius,
+        pad_unseen_area=pad_unseen_area,
+        poisson_blending=poisson_blending,
+        pb_num_iters=pb_num_iters,
+        pb_keep_original_border=pb_keep_original_border,
+        pb_grad_mode=pb_grad_mode,
+        pb_solver=pb_solver,
+    )
+    return out._replace(uv_attr_blend=uv_attr_blend)
+
+
+def uv_blend_sum(
+    uv_precompute_output: UVPrecomputeOutput,
+    uv_render_geometry_output: UVRenderGeometryOutput,
+    uv_render_attr_output: Optional[UVRenderAttrOutput],
+    uv_validity_strategy=SimpleUVValidityStrategy(),
+    uv_blend_weight_strategy=ExponentialBlend(),
+) -> UVBlendOutput:
+    """The per-texel half of :func:`uv_blend`: validity, blend weights, and
+    the weighted view sum — every output is row-local in the UV image, so
+    this is the piece that shards over the texel axis across chips
+    (parallel/bake.py). ``uv_attr_blend`` here is the RAW weighted sum
+    (no stitching against the original texture, no padding/Poisson — see
+    :func:`uv_blend_post`)."""
     pre = uv_precompute_output
     uv_valid_mask = uv_validity_strategy(
         pre, uv_render_geometry_output, uv_render_attr_output
@@ -457,6 +573,38 @@ def uv_blend(
             uv_blend_weight=uv_blend_weight,
         )
 
+    uv_attr_blend = (
+        uv_render_attr_output.uv_attr_proj * uv_blend_weight[..., None]
+    ).sum(axis=0)
+    return UVBlendOutput(
+        uv_attr_blend=uv_attr_blend,
+        uv_valid_mask=uv_valid_mask,
+        uv_valid_mask_blend=uv_valid_mask_blend,
+        uv_blend_weight=uv_blend_weight,
+    )
+
+
+def uv_blend_post(
+    uv_precompute_output: UVPrecomputeOutput,
+    uv_attr_blend: jnp.ndarray,
+    uv_valid_mask_blend: jnp.ndarray,
+    empty_value: float = 0.0,
+    do_uv_padding: bool = True,
+    uv_padding_radius: int = 3,
+    pad_unseen_area: bool = False,
+    poisson_blending: bool = False,
+    pb_num_iters: int = 1000,
+    pb_keep_original_border: bool = True,
+    pb_grad_mode: str = "src",
+    pb_solver: str = "jacobi",
+) -> jnp.ndarray:
+    """The whole-image half of :func:`uv_blend`: stitch the raw weighted sum
+    against the original texture, then optional Poisson seam blending and UV
+    gutter padding. These are 2-D stencil passes over the (small, Nv-free)
+    blended image, so the sharded bake runs them once on the stitched result
+    rather than inside the texel-sharded region."""
+    pre = uv_precompute_output
+
     if pre.uv_attr is not None and pre.uv_attr.shape[:2] != (
         pre.height,
         pre.width,
@@ -466,10 +614,6 @@ def uv_blend(
             f"({pre.height}, {pre.width}) — they must match (the blend "
             "stitches against the original texture, reference uv.py:453-457)"
         )
-
-    uv_attr_blend = (
-        uv_render_attr_output.uv_attr_proj * uv_blend_weight[..., None]
-    ).sum(axis=0)
 
     if pre.uv_attr is None:
         # No original texture to stitch/Poisson against (texture-less
@@ -513,9 +657,4 @@ def uv_blend(
         content_mask = uv_valid_mask_blend if pad_unseen_area else pre.uv_mask
         uv_attr_blend = uv_padding(uv_attr_blend, content_mask, uv_padding_radius)
 
-    return UVBlendOutput(
-        uv_attr_blend=uv_attr_blend,
-        uv_valid_mask=uv_valid_mask,
-        uv_valid_mask_blend=uv_valid_mask_blend,
-        uv_blend_weight=uv_blend_weight,
-    )
+    return uv_attr_blend

@@ -7,6 +7,7 @@ sharded axis over a `jax.sharding.Mesh`, and dataset-scale sweeps shard over
 chips with XLA collectives riding ICI.
 """
 
+from .bake import sharded_camera_projection
 from .device_mesh import make_device_mesh, view_sharding, replicated_sharding
 from .sweep import render_views_sharded, texture_fit_step, make_texture_fit_step
 from .dist import (
@@ -19,6 +20,7 @@ from .dist import (
 
 __all__ = [
     "make_device_mesh",
+    "sharded_camera_projection",
     "view_sharding",
     "replicated_sharding",
     "render_views_sharded",
