@@ -118,7 +118,7 @@ def _time_scanned(
     return samples
 
 
-def _emit(metric, value, unit, baseline=None, spread=None, n=None):
+def _emit(metric, value, unit, baseline=None, spread=None, n=None, extra=None):
     """One JSON line. ``value`` is the median-of-n; ``spread`` = [min, max]
     across the n same-process batches (VERDICT r1 item 6: the recorded
     number must be robust by construction, not by rerun discipline)."""
@@ -129,16 +129,18 @@ def _emit(metric, value, unit, baseline=None, spread=None, n=None):
         rec["spread"] = [round(spread[0], 2), round(spread[1], 2)]
     if n is not None:
         rec["n"] = n
+    if extra:
+        rec.update(extra)
     print(json.dumps(rec))
 
 
-def _emit_rate(metric, work, secs, baseline=None):
+def _emit_rate(metric, work, secs, baseline=None, extra=None):
     """Emit a work/secs rate from a list of per-batch seconds measurements:
     median as the value, [min, max] as the spread."""
     vals = sorted(work / s for s in secs)
     _emit(
         metric, float(np.median(vals)), "views/s", baseline,
-        spread=(vals[0], vals[-1]), n=len(vals),
+        spread=(vals[0], vals[-1]), n=len(vals), extra=extra,
     )
 
 
@@ -152,7 +154,8 @@ def _emit_secs(metric, secs):
 
 
 def _render_views_per_sec(
-    mesh, cam, height, width, r_inner, metric, baseline=None, **render_kw
+    mesh, cam, height, width, r_inner, metric, baseline=None,
+    extra_fields=None, **render_kw
 ):
     """Shared harness: R_inner perturbed renders inside one lax.scan,
     checksum-forced. Sizes the binning-tier budgets to the scene first
@@ -197,7 +200,7 @@ def _render_views_per_sec(
         return acc
 
     secs = _time_scanned(bench_step, mesh, cam)
-    _emit_rate(metric, n_views * r_inner, secs, baseline)
+    _emit_rate(metric, n_views * r_inner, secs, baseline, extra=extra_fields)
 
 
 def _heightfield_scene(n=72, extent=1.0):
@@ -247,13 +250,32 @@ def bench_headline():
         and diffs["z_diff"] < 1e-6
     ), f"binning budgets truncate triangle lists: {diffs}"
 
+    # On-chip correctness gates ride the driver-captured JSON line: the
+    # split_bf16-vs-exact precision comparison + the degenerate-camera
+    # probes (CPU CI can't execute the Pallas paths; this makes every
+    # BENCH_r*.json a correctness certificate too — VERDICT r2 #4).
+    from worldrenderer_tpu.utils.validate import (
+        degenerate_probes, precision_gate,
+    )
+
+    gate = precision_gate(quiet=True)
+    probes = degenerate_probes(quiet=True)
+    extra = {
+        "precision": "pass" if gate["ok"] else "fail",
+        "probes": "pass" if probes["ok"] else "fail",
+    }
+
     _render_views_per_sec(
         mesh, cam, HEIGHT, WIDTH, R_INNER,
         "views_per_sec_per_chip_6view_512_posnormal_10ktri",
         baseline=TARGET,
         render_attr=False, render_depth=False, render_normal=True,
-        raster_config=cfg,
+        raster_config=cfg, extra_fields=extra,
     )
+    if not (gate["ok"] and probes["ok"]):
+        for line in gate["scenes"] + probes["probes"]:
+            print(line, file=sys.stderr)
+        sys.exit(1)
 
 
 def _textured_icosphere(subdiv=3, tex=512):
