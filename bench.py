@@ -312,7 +312,19 @@ def bench_config1():
 
 
 def bench_config2():
-    """Orbit rig: 32 views at 512^2 with depth + normal buffers."""
+    """Orbit rig: 32 views at 512^2 with depth + normal buffers.
+
+    Diagnosis (round 3 trace, tools/trace_config2.py): c2's per-view cost
+    vs the headline is (a) the SCENE — the icosphere covers 88.5% of the
+    frame vs the heightfield's 34.3% at 16k vs 10k tris, so even 6 views
+    of it run at ~769 views/s — and (b) a genuine batch effect: the flat
+    record table grows with the view count and the TPU gather emitter's
+    per-row cost rises with table size (record-gather fusion 0.228 ->
+    0.392 ms/view from 6 -> 32 views, identical auto budgets). Chunking
+    the batch (render view_chunk=8) keeps the table small: interleaved
+    A/B measured whole-batch 651 / chunk8 731 / chunk16 545 views/s
+    (non-monotonic, as gather-emitter behavior always is — A/B per
+    workload, don't extrapolate)."""
     from worldrenderer_tpu import get_camera
 
     mesh = _textured_icosphere()
@@ -324,7 +336,7 @@ def bench_config2():
         mesh, cam, 512, 512, 2,
         "c2_views_per_sec_32view_512_depthnormal_orbit",
         render_attr=False, render_depth=True, render_normal=True,
-        raster_config=_fast_cfg(),
+        raster_config=_fast_cfg(), view_chunk=8,
     )
 
 

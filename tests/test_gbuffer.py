@@ -407,3 +407,45 @@ def test_render_auto_unifies_split_uv():
                               render_depth=False, render_normal=False)
     )(split, cam)
     np.testing.assert_array_equal(np.asarray(jit_out.mask), m)
+
+
+def test_render_view_chunk_matches_whole_batch():
+    """render(view_chunk=N) lax.maps the view batch in chunks (gather
+    tables scale with batch size on TPU, see bench config2); per-view
+    outputs are independent, so results must match the whole-batch render
+    (exact coverage, ULP float channels)."""
+    from worldrenderer_tpu.mesh import uv_sphere_mesh
+    from worldrenderer_tpu.render import render
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    tex = np.linspace(0, 1, 32 * 32 * 3, dtype=np.float32).reshape(32, 32, 3)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+        texture=jnp.asarray(tex),
+    )
+    cam = get_camera(
+        elevation_deg=20.0, distance=3.0, fovy_deg=45.0, num_views=8,
+        near=0.1, far=10.0,
+    )
+    whole = render(mesh, cam, H, W, render_attr=True, render_depth=True,
+                   render_normal=True)
+    chunked = render(mesh, cam, H, W, render_attr=True, render_depth=True,
+                     render_normal=True, view_chunk=2)
+    np.testing.assert_array_equal(
+        np.asarray(whole.mask), np.asarray(chunked.mask)
+    )
+    for f in ("attr", "depth", "normal", "pos"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(whole, f)), np.asarray(getattr(chunked, f)),
+            atol=1e-5, err_msg=f,
+        )
+    # view_chunk >= batch is a no-op path; non-dividing chunk raises.
+    same = render(mesh, cam, H, W, render_attr=True, view_chunk=8)
+    np.testing.assert_array_equal(
+        np.asarray(whole.mask), np.asarray(same.mask)
+    )
+    with pytest.raises(ValueError, match="divide"):
+        render(mesh, cam, H, W, render_attr=True, view_chunk=3)

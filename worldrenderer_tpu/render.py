@@ -272,12 +272,22 @@ def render(
     texture_pack_mode: str = "auto",
     raster_config: RasterizerConfig = DEFAULT_CONFIG,
     ssaa: int = 1,
+    view_chunk: int = 0,
 ) -> RenderOutput:
     """Render per-view G-buffers (reference render.py:220-286).
 
     Whole view batches render in one traced computation — the per-view Python
     loop of the reference app (test/pipeline.py:194) disappears into the
     batch axis.
+
+    ``view_chunk``: process the view batch in sequential chunks of this
+    size (``lax.map``; 0 = whole batch at once). Large batches make the
+    rasterizer's flat record table proportionally large, and the TPU
+    gather emitter's per-row cost RISES with table size (non-monotonically
+    — measured on the 32-view config2 orbit: whole-batch 651 views/s,
+    chunks of 8 = 731, chunks of 16 = 545, interleaved A/B). A/B per
+    workload; every per-view output is independent so results only differ
+    at the usual per-shape FMA-tiling ULPs.
 
     ``ssaa``: supersampling factor. ssaa=N renders at (N*H, N*W) and
     box-downfilters every channel — the gold-standard geometric
@@ -324,6 +334,42 @@ def render(
                 r = a * 255.0
                 if np.abs(r - np.round(r)).max() <= 1e-4:
                     texture_pack_mode = "u8"
+
+    n_views_total = int(cam.mvp_mtx.shape[0])
+    if view_chunk and 0 < view_chunk < n_views_total:
+        if n_views_total % view_chunk != 0:
+            raise ValueError(
+                f"view_chunk {view_chunk} must divide the view count "
+                f"{n_views_total}"
+            )
+        n_chunks = n_views_total // view_chunk
+        cam_c = jax.tree_util.tree_map(
+            lambda x: x.reshape(n_chunks, view_chunk, *x.shape[1:]), cam
+        )
+
+        def one_chunk(cv):
+            return render(
+                mesh, cv, height, width,
+                render_attr=render_attr, render_depth=render_depth,
+                render_normal=render_normal, render_tangent=render_tangent,
+                antialias_attr=antialias_attr,
+                depth_normalization_strategy=depth_normalization_strategy,
+                attr_background=attr_background,
+                normal_background=normal_background,
+                tangent_background=tangent_background,
+                texture_override=texture_override,
+                texture_filter_mode=texture_filter_mode,
+                texture_gather_mode=texture_gather_mode,
+                texture_pack_mode=texture_pack_mode,
+                raster_config=raster_config,
+                ssaa=ssaa,
+            )
+
+        out = jax.lax.map(one_chunk, cam_c)
+        return RenderOutput(**{
+            k: None if v is None else v.reshape(n_views_total, *v.shape[2:])
+            for k, v in out._asdict().items()
+        })
 
     if ssaa > 1:
         out = render(
