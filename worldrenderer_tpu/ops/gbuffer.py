@@ -709,6 +709,26 @@ def _gbuffer_dma_batched(
     prec = config.dot_precision
     if prec == "high":
         prec = "highest"  # Precision.HIGH crashes Mosaic lowering
+    if prec == "split_bf16" and config.sel_pack:
+        # Pre-split the select rows into stacked bf16 hi/lo AT PREP TIME:
+        # the kernel then issues ONE (2*m_pad, c) @ (c, P) select dot per
+        # chunk instead of two (the MXU pads both row counts to the same
+        # output tile, so the second dot was a whole extra pass set) and
+        # skips the per-chunk cast/subtract. NOT bit-identical to the
+        # in-kernel split (XLA's f32->bf16 rounding differs from Mosaic's
+        # at the last bit, so reconstructed planes differ at the usual
+        # split_bf16 noise level and z-ties can flip) — covered by the
+        # on-chip precision gate like every split_bf16 path. id hi/lo
+        # byte rows are < 256 and bf16-exact under EITHER rounding.
+        # lax.reduce_precision, NOT astype round-trips: under
+        # --xla_allow_excess_precision XLA elides f32->bf16->f32 convert
+        # pairs, which silently turned s_lo into bf16(x - x) = 0 and
+        # dropped the whole lo compensation (caught by the on-chip
+        # precision gate: p99.9 |dn| jumped 20x).
+        hi_f32 = jax.lax.reduce_precision(sel_flat, 8, 7)
+        s_hi = hi_f32.astype(jnp.bfloat16)
+        s_lo = (sel_flat - hi_f32).astype(jnp.bfloat16)
+        sel_flat = jnp.concatenate([s_hi, s_lo], axis=1)
     if t_total >= 2**24:
         # ids ride hi/lo f32 byte rows whose 256*hi + lo merge is only
         # f32-exact below 2^24 — in EVERY precision mode. Silently
@@ -720,7 +740,7 @@ def _gbuffer_dma_batched(
     z, idm, vals = gbuffer_tiles_dma(
         planes_flat, sel_flat, start_chunks, n_chunks,
         nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],
-        config.kernel_unroll,
+        config.kernel_unroll, config.winner_mode,
     )
     z = z[:, :height, :width]
     idm = idm[:, :height, :width]

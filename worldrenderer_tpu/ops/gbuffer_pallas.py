@@ -382,6 +382,8 @@ def _kernel_dma(
     tile_w,
     dot_precision,
     unroll=1,
+    winner_mode="dot",
+    sel_packed=False,
 ):
     """Fused z/id/attr pass, v2: manual double-buffered DMA of the tile's
     flat 128-aligned coefficient segment + winner-select matmul.
@@ -420,10 +422,11 @@ def _kernel_dma(
     )
     lx = lxf[0:1]  # (1, P)
     ly = lyf[0:1]
-    tri_lower = (
-        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-        >= jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    ).astype(jnp.bfloat16)
+    if winner_mode == "dot":
+        tri_lower = (
+            jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+            >= jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+        ).astype(jnp.bfloat16)
 
     def pdma(slot, ci):
         return pltpu.make_async_copy(
@@ -476,15 +479,39 @@ def _kernel_dma(
         zc = jnp.where(cov, z, _BIG_Z)
         zmin = jnp.min(zc, axis=0, keepdims=True)  # (1, P)
         wpb = zc == zmin  # (C, P) bool; ties possible
-        csum = jax.lax.dot_general(
-            tri_lower, wpb.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # inclusive prefix counts (exact: integers <= C)
-        first = wpb & (csum == 1.0)  # unique first-hit winner
+        if winner_mode == "vpu":
+            # Unique first-hit winner via a VPU min-index reduction (same
+            # shape/cost class as the zmin reduce just above) instead of
+            # the (c, c) @ (c, P) lower-triangular prefix matmul — frees
+            # one full-depth MXU pass set per chunk. Flat segments ascend
+            # by triangle id, so min row index == min id (the reference's
+            # tie rule).
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (c, p), 0)
+            win_i = jnp.min(
+                jnp.where(wpb, rowi, jnp.int32(c)), axis=0, keepdims=True
+            )
+            first = wpb & (rowi == win_i)
+        else:
+            csum = jax.lax.dot_general(
+                tri_lower, wpb.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # inclusive prefix counts (exact: integers <= C)
+            first = wpb & (csum == 1.0)  # unique first-hit winner
 
         a_s = sbuf[slot]  # (m_pad, c); rows beyond m_sel are zero padding
-        if dot_precision == "split_bf16":
+        if sel_packed:
+            # Prep-split stacked bf16 [s_hi; s_lo] rows: ONE dot, then add
+            # the halves (an (m_pad, P) f32 add — trivial next to a pass).
+            w_bf = first.astype(jnp.bfloat16)
+            out = jax.lax.dot_general(
+                a_s, w_bf,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (2*m_half, P)
+            m_half = a_s.shape[0] // 2
+            sel = out[0:m_half] + out[m_half:]
+        elif dot_precision == "split_bf16":
             # Two separate hi/lo dots. An output-dim-stacked single dot
             # ([s_hi; s_lo] @ W, 32 rows in one 128-row MXU tile) measured
             # ~4% SLOWER in interleaved A/B (median ratio 1.041, all pairs
@@ -621,7 +648,7 @@ def _kernel_dma(
         v_out[0, vi, :, :] = row.reshape(tile_h, tile_w)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
 def gbuffer_tiles_dma(
     planes_flat: jnp.ndarray,  # (B, 4, NCH*4c) chunk-major plane coefficients
     #   (4th coefficient row is zero padding for the DMA sublane tiling)
@@ -636,6 +663,7 @@ def gbuffer_tiles_dma(
     c: int,
     dot_precision=jax.lax.Precision.HIGHEST,
     unroll: int = 1,
+    winner_mode: str = "dot",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched v2 G-buffer kernel over an (views, tiles) grid. The flat
     coefficient lists stay in HBM; each tile's 128-aligned segment is
@@ -645,13 +673,16 @@ def gbuffer_tiles_dma(
     bsz, n_tiles = start_chunks.shape
     m_sel = 5 + 3 * n_vals
     m_pad = -(-m_sel // 8) * 8
-    assert sel_flat.shape[1] == m_pad, (sel_flat.shape, m_pad)
+    sel_packed = sel_flat.dtype == jnp.bfloat16
+    sel_rows = 2 * m_pad if sel_packed else m_pad
+    assert sel_flat.shape[1] == sel_rows, (sel_flat.shape, sel_rows)
     ph, pw = n_ty * tile_h, n_tx * tile_w
     p = tile_h * tile_w
 
     kernel = functools.partial(
         _kernel_dma, c=c, n_vals=n_vals, m_sel=m_sel, tile_h=tile_h,
         tile_w=tile_w, dot_precision=dot_precision, unroll=unroll,
+        winner_mode=winner_mode, sel_packed=sel_packed,
     )
     n_slots = 4 if unroll == 2 else 2
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -681,7 +712,7 @@ def gbuffer_tiles_dma(
         ],
         scratch_shapes=[
             pltpu.VMEM((n_slots, 4, 4 * c), jnp.float32),
-            pltpu.VMEM((n_slots, m_pad, c), jnp.float32),
+            pltpu.VMEM((n_slots, sel_rows, c), sel_flat.dtype),
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],
@@ -697,7 +728,8 @@ def gbuffer_tiles_dma(
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * n_tiles * 2 * (4 * c + 2 * m_sel + c) * p,
             bytes_accessed=int(
-                planes_flat.size * 4 + sel_flat.size * 4
+                planes_flat.size * 4
+                + sel_flat.size * sel_flat.dtype.itemsize
                 + bsz * (n_vals + 2) * ph * pw * 4
             ),
             transcendentals=0,

@@ -136,6 +136,17 @@ class RasterizerConfig(NamedTuple):
     # already pipelines the serial loop); kept as a tested variant for
     # other chips/scenes.
     kernel_unroll: int = 1
+    # DMA-kernel unique-winner selection: "dot" = lower-triangular prefix
+    # matmul ((c, c) @ (c, P) bf16 — one full-depth MXU pass set per
+    # chunk), "vpu" = min-row-index reduction on the VPU (same cost class
+    # as the zmin reduce; frees the MXU passes). Bit-identical outputs —
+    # flat segments ascend by triangle id, so min row index == min id.
+    winner_mode: str = "dot"
+    # DMA-kernel select rows pre-split into stacked bf16 hi/lo at prep
+    # time (split_bf16 only): one select dot per chunk instead of two,
+    # no per-chunk cast. split_bf16-class value noise (XLA vs Mosaic
+    # f32->bf16 rounding differs at the last bit); precision-gated.
+    sel_pack: bool = False
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -188,6 +199,12 @@ FAST_TPU_CONFIG = RasterizerConfig(
     dot_precision="split_bf16",  # merged hi/lo bf16, near-fp32 (the DMA
     # kernel keeps exact ids to 2^24 triangles; beyond that it falls
     # back to true fp32)
+    # Round-3 kernel wins (interleaved on-chip A/B, 10 pairs, 9 wins,
+    # median +5.4% frame = ~+11% kernel): winner uniqueness on the VPU
+    # (bit-identical) + prep-split stacked bf16 select rows (one select
+    # dot per chunk; split_bf16-class value noise, precision-gated).
+    winner_mode="vpu",
+    sel_pack=True,
     # Tighter flat-list/huge budgets than the safe defaults (the aligned
     # coefficient-list capacity scales with these, and its record gather is
     # a per-row cost): validate per scene with binning_stats (bench.py
