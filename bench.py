@@ -587,6 +587,16 @@ def bench_stress1m():
         raster_config=cfg,
     )
     _emit("stress1m_lod_chain_build_sec", build_s, "s")
+    # RAW full-1M-triangle render (no LOD substitution): bin_tiny_px routes
+    # the ~90% sub-pixel triangles through the two-sort path instead of the
+    # O(T * tile_px) tile kernel — bit-exact vs the tile path (tested), so
+    # this metric renders the REAL geometry. 5.2 views/s without it.
+    _render_views_per_sec(
+        mesh, cam, HEIGHT, WIDTH, 4,
+        "stress1m_views_per_sec_raw_tinysort_999698tris",
+        render_attr=False, render_depth=False, render_normal=True,
+        raster_config=_fast_cfg()._replace(bin_tiny_px=1.0),
+    )
 
 
 def bench_projection():

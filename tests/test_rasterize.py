@@ -773,3 +773,101 @@ def test_dot_precision_high_upgraded_on_pallas():
         RasterizerConfig(backend="fused_pallas", dot_precision="highest"),
     )
     np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+
+
+def _mixed_tiny_scene(rng, n_big=60, n_tiny=4000):
+    """A scene mixing normal triangles with sub-pixel ones (independent
+    vertices per triangle, random depths) — exercises both the tile path
+    and the bin_tiny_px sort path at once."""
+    cb = rng.uniform(-0.8, 0.8, (n_big, 2))
+    v_big = np.concatenate(
+        [
+            cb[:, None, :] + rng.uniform(-0.3, 0.3, (n_big, 3, 2)),
+            rng.uniform(0.2, 0.9, (n_big, 3, 1)),
+            np.ones((n_big, 3, 1)),
+        ],
+        axis=-1,
+    )
+    ct = rng.uniform(-0.95, 0.95, (n_tiny, 2))
+    v_tiny = np.concatenate(
+        [
+            ct[:, None, :] + rng.uniform(-0.004, 0.004, (n_tiny, 3, 2)),
+            rng.uniform(0.2, 0.9, (n_tiny, 3, 1)),
+            np.ones((n_tiny, 3, 1)),
+        ],
+        axis=-1,
+    )
+    v = np.concatenate([v_big, v_tiny]).reshape(-1, 4).astype(np.float32)
+    tri = np.arange(v.shape[0]).reshape(-1, 3).astype(np.int32)
+    return jnp.asarray(v), jnp.asarray(tri)
+
+
+@pytest.mark.parametrize("backend", ["fused", "fused_pallas"])
+def test_tiny_sort_path_bit_exact(backend):
+    """bin_tiny_px routes sub-pixel triangles through the two-sort path
+    (ops/gbuffer.py:_tiny_images); output must be BIT-identical to the
+    all-tile exact render — z, ids, and interpolated attributes."""
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+
+    rng = np.random.default_rng(0)
+    pos, tri = _mixed_tiny_scene(rng)
+    attr = jnp.asarray(
+        rng.normal(size=(pos.shape[0], 5)).astype(np.float32)
+    )
+    base = RasterizerConfig(backend=backend, dot_precision="highest")
+    exact = rasterize_gbuffer(pos[None], tri, attr, (128, 128), config=base)
+    tiny = rasterize_gbuffer(
+        pos[None], tri, attr, (128, 128),
+        config=base._replace(bin_tiny_px=1.0, bin_flat_cap_abs=1 << 15),
+    )
+    assert int(np.asarray(exact.mask).sum()) > 4000  # scene is live
+    for field in ("mask", "z", "tri_id", "attr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(exact, field)),
+            np.asarray(getattr(tiny, field)),
+            err_msg=f"{backend}/{field}",
+        )
+
+
+def test_tiny_px_above_one_rejected():
+    """A >1 px bbox can hold two pixel centers per axis — the single-
+    candidate sort path would drop coverage, so the config is rejected."""
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+
+    rng = np.random.default_rng(1)
+    pos, tri = _mixed_tiny_scene(rng, n_big=4, n_tiny=4)
+    for backend in ("fused", "fused_pallas"):
+        with pytest.raises(ValueError, match="bin_tiny_px"):
+            rasterize_gbuffer(
+                pos[None], tri, None, (64, 64),
+                config=RasterizerConfig(
+                    backend=backend, bin_tiny_px=1.5,
+                ),
+            )
+
+
+def test_auto_fast_config_sizes_tiny_abs_cap():
+    """With bin_tiny_px on, live (non-tiny) flat entries sit far below
+    factor*T; auto_fast_config must size an ABSOLUTE flat cap from the
+    measured live entries and the result must still guard lossless."""
+    from worldrenderer_tpu.ops.rasterize import (
+        FAST_TPU_CONFIG,
+        auto_fast_config,
+        binning_stats,
+    )
+
+    rng = np.random.default_rng(2)
+    pos, tri = _mixed_tiny_scene(rng, n_big=30, n_tiny=8000)
+    base = FAST_TPU_CONFIG._replace(bin_tiny_px=1.0)
+    cfg = auto_fast_config(pos[None], tri, (128, 128), base=base)
+    assert cfg.bin_flat_cap_abs > 0
+    t_total = int(tri.shape[0])
+    # The whole point: the abs cap is far under any factor*T sizing.
+    assert cfg.bin_flat_cap_abs < t_total
+    stats = binning_stats(pos[None], tri, (128, 128), cfg)
+    assert stats["ok"], stats
+    # And the tiny exclusion actually shrank the measured live entries.
+    stats_off = binning_stats(
+        pos[None], tri, (128, 128), cfg._replace(bin_tiny_px=0.0)
+    )
+    assert stats["live_entries"] < stats_off["live_entries"] // 4

@@ -119,6 +119,143 @@ def _attr_planes_t(
     return jnp.pad(rows, [(0, 0), (0, 1)])
 
 
+_I32_MAX = jnp.int32(2**31 - 1)
+
+
+def _z_sort_bits(z: jnp.ndarray) -> jnp.ndarray:
+    """Order-preserving f32 -> i32 mapping (signed compare). Involution:
+    applying it twice restores the original bits."""
+    b = jax.lax.bitcast_convert_type(z, jnp.int32)
+    return b ^ jax.lax.shift_right_arithmetic(b, 31) & jnp.int32(0x7FFFFFFF)
+
+
+def _tiny_images(
+    rows12: jnp.ndarray,  # (12, T+1) [e0_a, e0_b, e0_g, e1..., e2..., z...]
+    attr_rows,  # ((A+1)*3, T+1) numerator planes + denominator, or None
+    bbox4: jnp.ndarray,  # (4, T+1) xmin, xmax, ymin, ymax
+    tiny: jnp.ndarray,  # (T,) bool — triangles owned by this path
+    height: int,
+    width: int,
+):
+    """Sort-path rasterization of sub-pixel triangles (bin_tiny_px).
+
+    A triangle whose bbox is < 1 px in both axes contains AT MOST ONE
+    pixel center per axis, so each tiny triangle emits exactly one
+    (pixel, z, id) candidate (or none). Two XLA sorts then produce the
+    dense winner image with no scatter at all (TPU scatters are ~serial,
+    measured 32 ms even for 262k unique writes; sorts are ~12 ms/M):
+
+      1. sort candidates + one background sentinel per pixel by
+         (pixel, z-bits, id) — ascending z-bits = nearest, ascending id
+         ties = the reference's min-id rule;
+      2. mark each pixel group's FIRST entry, re-sort by
+         (winner ? pixel : HW): every pixel has >= 1 entry (the
+         sentinels), so the first H*W entries ARE the image row-major.
+
+    Returns (z (H, W) +inf background, idm (H, W) f32 raw id with
+    _BIG_SLOT background, vals ((A+1), H, W) numerator/denominator plane
+    evaluations — same conventions as the tile kernels, mergeable by
+    straight z/id comparison."""
+    from .gbuffer_pallas import _BIG_SLOT, _BIG_Z
+
+    t_total = tiny.shape[0]
+    hw = height * width
+    xmin, xmax = bbox4[0, :-1], bbox4[1, :-1]
+    ymin, ymax = bbox4[2, :-1], bbox4[3, :-1]
+
+    # The unique candidate: the smallest pixel center >= bbox min per axis.
+    pxf = jnp.ceil(xmin - 0.5) + 0.5
+    pyf = jnp.ceil(ymin - 0.5) + 0.5
+    ix = (pxf - 0.5).astype(jnp.int32)
+    iy = (pyf - 0.5).astype(jnp.int32)
+    inb = (
+        (pxf <= xmax) & (pyf <= ymax)
+        & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+    )
+
+    def ev(r):
+        return (
+            rows12[r, :-1] * pxf + rows12[r + 1, :-1] * pyf + rows12[r + 2, :-1]
+        )
+
+    e0, e1, e2, z = ev(0), ev(3), ev(6), ev(9)
+    cov = (
+        tiny & inb
+        & (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+        & (z >= -1.0) & (z <= 1.0)
+    )
+    pix = jnp.where(cov, iy * width + ix, hw)
+    zb = jnp.where(cov, _z_sort_bits(z), _I32_MAX)
+    tid = jnp.arange(t_total, dtype=jnp.int32)
+
+    # One sentinel per pixel: guarantees every pixel group is non-empty,
+    # so pass 2's first hw entries are dense.
+    pix_all = jnp.concatenate([pix, jnp.arange(hw, dtype=jnp.int32)])
+    zb_all = jnp.concatenate([zb, jnp.full((hw,), _I32_MAX, jnp.int32)])
+    tid_all = jnp.concatenate([tid, jnp.full((hw,), _I32_MAX, jnp.int32)])
+
+    pix_s, zb_s, tid_s = jax.lax.sort((pix_all, zb_all, tid_all), num_keys=3)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
+    )
+    winkey = jnp.where(first & (pix_s < hw), pix_s, hw)
+    _, zb_w, tid_w = jax.lax.sort((winkey, zb_s, tid_s), num_keys=1)
+    zb_img = zb_w[:hw]
+    tid_img = tid_w[:hw]
+
+    bg = tid_img == _I32_MAX
+    z_img = jnp.where(
+        bg, jnp.inf,
+        jax.lax.bitcast_convert_type(
+            zb_img ^ jax.lax.shift_right_arithmetic(zb_img, 31)
+            & jnp.int32(0x7FFFFFFF),
+            jnp.float32,
+        ),
+    ).reshape(height, width)
+    idm_img = jnp.where(
+        bg, jnp.float32(_BIG_SLOT), tid_img.astype(jnp.float32)
+    ).reshape(height, width)
+
+    vals_img = None
+    if attr_rows is not None:
+        # Per-pixel winner attribute planes: one row gather from the
+        # (T+1, m) table (m <= ~16 f32 columns — under the gather column
+        # cliff) + a VPU plane eval at the pixel coords.
+        table = attr_rows.T  # (T+1, m)
+        rowsel = jnp.where(bg, t_total, tid_img)  # sentinel row is zeros
+        g = table[rowsel]  # (HW, m)
+        m = g.shape[1]
+        px_img = (
+            jax.lax.broadcasted_iota(jnp.float32, (hw,), 0) % width + 0.5
+        )
+        py_img = (
+            jnp.floor(jax.lax.broadcasted_iota(jnp.float32, (hw,), 0) / width)
+            + 0.5
+        )
+        a = g[:, 0:m:3]
+        b = g[:, 1:m:3]
+        c = g[:, 2:m:3]
+        vals_img = (
+            a * px_img[:, None] + b * py_img[:, None] + c
+        ).T.reshape(m // 3, height, width)
+    return z_img, idm_img, vals_img
+
+
+def _merge_zidvals(z_a, idm_a, vals_a, z_b, idm_b, vals_b):
+    """Merge two (z, id, vals) image sets by nearest-z, min-id-on-ties
+    (the kernel's winner rule, applied across the tile and tiny paths).
+    Backgrounds carry z=+inf and id=_BIG_SLOT in both, so background
+    resolves correctly without special cases."""
+    take_b = (z_b < z_a) | ((z_b == z_a) & (idm_b < idm_a))
+    z = jnp.where(take_b, z_b, z_a)
+    idm = jnp.where(take_b, idm_b, idm_a)
+    vals = None
+    if vals_a is not None:
+        vals = jnp.where(take_b[..., None, :, :] if vals_a.ndim == 4
+                         else take_b[None], vals_b, vals_a)
+    return z, idm, vals
+
+
 def _gather_tile_rows_flat(
     all_planes: jnp.ndarray,  # (T+1, R, 3)
     valid: jnp.ndarray,  # (T+1,)
@@ -534,6 +671,12 @@ def _gbuffer_single(
         and t_total >= config.bin_sort_pairs_min_tris
         and (n_tiles + 1) * t_total < 2**31
     )
+    tiny_on = config.bin_tiny_px > 0 and use_flat
+    if config.bin_tiny_px > 1.0:
+        raise ValueError(
+            "bin_tiny_px must be <= 1.0 (a 1 px bbox is the single-"
+            "candidate exactness bound)"
+        )
     if use_flat:
         flat = _bin_flat(
             setup, width, height, tile_h, tile_w,
@@ -541,6 +684,8 @@ def _gbuffer_single(
             config.bin_flat_cap_factor,
             n_med=config.bin_med, med_span_y=config.bin_med_span_y,
             med_span_x=config.bin_med_span_x,
+            tiny_px=config.bin_tiny_px,
+            cap_abs=config.bin_flat_cap_abs,
         )
         coeffs, counts = _gather_tile_rows_flat(
             all_planes, setup.valid, flat, origin, min(max_per_tile, t_total),
@@ -596,13 +741,31 @@ def _gbuffer_single(
 
     z = detile(z_t)
     tid = detile(id_t)
+    vals = None
+    if n_attr > 0:
+        vals = jax.vmap(detile, in_axes=1, out_axes=0)(v_t)  # (A+1, H, W)
+
+    if tiny_on:
+        from .rasterize import _tiny_mask
+
+        rows12 = setup.planes.reshape(t_total + 1, 12).T
+        attr_rows = (
+            all_planes[:, 5:].reshape(t_total + 1, -1).T
+            if n_attr > 0 else None
+        )
+        bbox4 = setup.bbox.T
+        z_tiny, id_tiny, v_tiny = _tiny_images(
+            rows12, attr_rows, bbox4,
+            _tiny_mask(setup, config.bin_tiny_px), height, width,
+        )
+        z, tid, vals = _merge_zidvals(z, tid, vals, z_tiny, id_tiny, v_tiny)
+
     mask = jnp.isfinite(z) & (tid < jnp.float32(_BIG_SLOT))
     z = jnp.where(mask, z, 0.0)
     tri_id = jnp.where(mask, tid.astype(jnp.int32) + 1, 0)
 
     attr = None
     if n_attr > 0:
-        vals = jax.vmap(detile, in_axes=1, out_axes=0)(v_t)  # (A+1, H, W)
         den = vals[-1]
         den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
         attr = jnp.where(
@@ -654,6 +817,8 @@ def _gbuffer_dma_batched(
         )
     if cap_factor > 0:
         l_keys = min(l_keys, cap_factor * t_total)
+    if config.bin_flat_cap_abs > 0:
+        l_keys = min(l_keys, config.bin_flat_cap_abs)
     # Upper bound on the sum of c-aligned (capped) segment lengths.
     l_cap = min(l_keys + n_tiles * (c - 1), n_tiles * (-(-k_cap // c) * c))
     l_cap = -(-l_cap // c) * c
@@ -690,6 +855,13 @@ def _gbuffer_dma_batched(
         am = tri_attr.T.reshape(-1) if tri_attr is not None else vmajor
         a3 = v_attr[am].T.reshape(v_attr.shape[1], 3, t_total)
 
+    tiny_on = config.bin_tiny_px > 0
+    if config.bin_tiny_px > 1.0:
+        raise ValueError(
+            "bin_tiny_px must be <= 1.0 (a 1 px bbox is the single-"
+            "candidate exactness bound)"
+        )
+
     def prep(pos_clip, v4):
         setup = _triangle_setup_t(pos_clip, tri, width, height, v4=v4)
         flat = _bin_flat(
@@ -698,13 +870,29 @@ def _gbuffer_dma_batched(
             config.bin_huge, cap_factor,
             n_med=config.bin_med, med_span_y=config.bin_med_span_y,
             med_span_x=config.bin_med_span_x,
+            tiny_px=config.bin_tiny_px,
+            cap_abs=config.bin_flat_cap_abs,
         )
-        return _flat_chunks(
+        chunks = _flat_chunks(
             setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,
             a3=a3, chunk_slice_mode=config.chunk_slice_mode,
         )
+        if not tiny_on:
+            return chunks, (None, None, None)
+        from .rasterize import _tiny_mask
 
-    planes_flat, sel_flat, start_chunks, n_chunks = jax.vmap(prep)(pos, v_all)
+        attr_rows = None
+        if n_attr > 0:
+            attr_rows = _attr_planes_t(setup, tri, v_attr, a3=a3)
+        tiny_imgs = _tiny_images(
+            setup.planes12, attr_rows, setup.bbox4,
+            _tiny_mask(setup, config.bin_tiny_px), height, width,
+        )
+        return chunks, tiny_imgs
+
+    (planes_flat, sel_flat, start_chunks, n_chunks), tiny_imgs = jax.vmap(
+        prep
+    )(pos, v_all)
 
     prec = config.dot_precision
     if prec == "high":
@@ -744,13 +932,18 @@ def _gbuffer_dma_batched(
     )
     z = z[:, :height, :width]
     idm = idm[:, :height, :width]
+    vals = vals[:, :, :height, :width] if v_attr is not None else None
+
+    if tiny_on:
+        z_t, id_t, v_t = tiny_imgs
+        z, idm, vals = _merge_zidvals(z, idm, vals, z_t, id_t, v_t)
+
     mask = jnp.isfinite(z) & (idm < jnp.float32(_BIG_SLOT))
     z = jnp.where(mask, z, 0.0)
     tri_id = jnp.where(mask, idm.astype(jnp.int32) + 1, 0)
 
     attr = None
     if v_attr is not None:
-        vals = vals[:, :, :height, :width]  # (B, A+1, H, W)
         den = vals[:, -1]
         den = jnp.where(jnp.abs(den) < 1e-20, 1e-20, den)
         attr = jnp.where(

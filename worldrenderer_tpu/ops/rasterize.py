@@ -147,6 +147,22 @@ class RasterizerConfig(NamedTuple):
     # no per-chunk cast. split_bf16-class value noise (XLA vs Mosaic
     # f32->bf16 rounding differs at the last bit); precision-gated.
     sel_pack: bool = False
+    # Sub-pixel-triangle sort path (the 1M-triangle cliff): triangles whose
+    # bbox is smaller than this many pixels in BOTH axes cover at most ONE
+    # pixel center — they skip tile binning entirely and rasterize by
+    # sorting (pixel, z, id) triples (two XLA sorts; scatters are ~serial
+    # on TPU). Work becomes O(T log T) instead of O(T * tile_pixels).
+    # 0 = off; 1.0 is the exactness bound (a 1 px bbox can contain at most
+    # one pixel center per axis). Values > 1 would need multi-candidate
+    # emission and are rejected.
+    bin_tiny_px: float = 0.0
+    # Absolute cap on the flat binned-entry list (0 = none; combined with
+    # bin_flat_cap_factor by min). With bin_tiny_px on, live entries can be
+    # FAR below any factor*T bound (a 1M-tri scene bins 86k non-tiny
+    # entries), and the flat coefficient arrays + their record gather are
+    # sized by this cap — auto_fast_config sets it from measured live
+    # entries; binning_stats validates it like every other budget.
+    bin_flat_cap_abs: int = 0
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -641,6 +657,7 @@ def _bin_classify(
     n_med: int,
     med_span_y: int,
     med_span_x: int,
+    tiny_px: float = 0.0,
 ):
     """Shared bbox->tile-range + size-tier classification for `_bin_flat`
     (the binning) and `_binning_stats_jit` (the lossiness guard). The
@@ -677,7 +694,26 @@ def _bin_classify(
         medium = jnp.zeros_like(big)
         huge = big
     small = on_screen & ~big
+    if tiny_px > 0:
+        # Sub-pixel triangles leave the tile pipeline entirely (handled by
+        # the sort path, see RasterizerConfig.bin_tiny_px). A tiny bbox has
+        # span 1, so only the `small` tier is affected — but the mask must
+        # be computed HERE so binning, its lossiness guard, and the sort
+        # path all share one definition of "tiny".
+        tiny = _tiny_mask(setup, tiny_px)
+        small = small & ~tiny
     return tx0, tx1, ty0, ty1, span_x, span_y, on_screen, small, medium, huge
+
+
+def _tiny_mask(setup, tiny_px: float):
+    """bbox smaller than tiny_px in BOTH axes (and a live triangle).
+    Shared by _bin_classify (exclusion) and the sort path (inclusion)."""
+    xmin, xmax, ymin, ymax = _bbox_vectors(setup)
+    return (
+        setup.valid[:-1]
+        & ((xmax - xmin) < tiny_px)
+        & ((ymax - ymin) < tiny_px)
+    )
 
 
 def _bin_flat(
@@ -693,6 +729,8 @@ def _bin_flat(
     n_med: int = 0,
     med_span_y: int = 8,
     med_span_x: int = 4,
+    tiny_px: float = 0.0,
+    cap_abs: int = 0,
 ):
     """Flat binning core: ONE sort of (tile, tri) replica pairs.
 
@@ -720,7 +758,7 @@ def _bin_flat(
     (tx0, tx1, ty0, ty1, span_x, span_y, on_screen, small, medium, huge) = (
         _bin_classify(
             setup, width, height, tile_h, tile_w, span_y_max, span_x_max,
-            n_med, med_span_y, med_span_x,
+            n_med, med_span_y, med_span_x, tiny_px=tiny_px,
         )
     )
 
@@ -779,10 +817,15 @@ def _bin_flat(
         keys = jnp.concatenate([keys, hkeys.reshape(-1)])
 
     keys = jnp.sort(keys)
+    cap = keys.shape[0]
     if flat_cap_factor > 0:
+        cap = min(cap, flat_cap_factor * t_total)
+    if cap_abs > 0:
+        cap = min(cap, cap_abs)
+    if cap < keys.shape[0]:
         # Truncate the (sentinel-heavy) tail so downstream gathers touch
         # ~live entries only.
-        keys = keys[: min(keys.shape[0], flat_cap_factor * t_total)]
+        keys = keys[:cap]
     s_tile = (keys // t_total).astype(jnp.int32)  # ascending; sentinel tail
     s_tri = (keys % t_total).astype(jnp.int32)
     s_tri = jnp.where(s_tile < n_tiles, s_tri, t_total)
@@ -1125,8 +1168,13 @@ def _binning_stats_jit(pos, tri, resolution, config):
                 setup, width, height, tile_h, tile_w,
                 config.bin_span_tiles_y, config.bin_span_tiles_x,
                 config.bin_med, config.bin_med_span_y, config.bin_med_span_x,
+                tiny_px=config.bin_tiny_px,
             )
         )
+        if config.bin_tiny_px > 0:
+            # Tiny triangles produce NO replica keys or per-tile entries
+            # (they go through the sort path) — keep the guard in lockstep.
+            on = on & ~_tiny_mask(setup, config.bin_tiny_px)
         n_med = jnp.sum(medium & on)
         n_huge = jnp.sum(huge & on)
         live = jnp.sum(jnp.where(on, span_x * span_y, 0))
@@ -1206,9 +1254,16 @@ def auto_fast_config(
                     cap_factor,
                     -(-int(headroom * st["live_entries"]) // t_tot),
                 )
+    cap_abs = base.bin_flat_cap_abs
+    if base.bin_tiny_px > 0:
+        # With the tiny sort path on, live entries sit far below factor*T
+        # (the flat arrays + record gather scale with the cap) — size an
+        # ABSOLUTE cap from the measured worst view instead.
+        worst_live = max(st["live_entries"] for st in stats_list)
+        cap_abs = pow2_at_least(int(headroom * worst_live), 4096)
     cfg = base._replace(
         bin_med=med, bin_huge=huge, max_tris_per_tile=k_cap,
-        bin_flat_cap_factor=cap_factor,
+        bin_flat_cap_factor=cap_factor, bin_flat_cap_abs=cap_abs,
     )
     for p_i, t_i, r_i in probes:
         final = binning_stats(p_i, t_i, r_i, cfg)
@@ -1234,6 +1289,8 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
         config.bin_flat_cap_factor * t_total
         if config.bin_flat_cap_factor > 0 else 2**62
     )
+    if config.bin_flat_cap_abs > 0:
+        flat_cap = min(flat_cap, config.bin_flat_cap_abs)
     stats = {
         "n_huge": int(n_huge),
         "huge_budget": int(config.bin_huge),
