@@ -871,3 +871,66 @@ def test_auto_fast_config_sizes_tiny_abs_cap():
         pos[None], tri, (128, 128), cfg._replace(bin_tiny_px=0.0)
     )
     assert stats["live_entries"] < stats_off["live_entries"] // 4
+
+
+def test_auto_fast_config_auto_tiny_trigger():
+    """auto_fast_config engages the tiny sort path on its own exactly when
+    the scene is heavily sub-pixel AND large (>=60% tiny, >=300k tris)."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG, auto_fast_config
+    from worldrenderer_tpu.transforms import get_clip_space_position
+    from worldrenderer_tpu import get_camera
+
+    cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+
+    # 1M-tri heightfield at 256^2: almost every triangle is sub-pixel.
+    verts, faces = make_grid_mesh(
+        708, extent=1.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    pos = get_clip_space_position(jnp.asarray(verts, jnp.float32), cam.mvp_mtx)
+    tri = jnp.asarray(faces, jnp.int32)
+    cfg = auto_fast_config(pos, tri, (256, 256), base=FAST_TPU_CONFIG)
+    assert cfg.bin_tiny_px == 1.0
+    assert cfg.bin_flat_cap_abs > 0
+    # Opt-out restores the old behavior.
+    cfg_off = auto_fast_config(
+        pos, tri, (256, 256), base=FAST_TPU_CONFIG, auto_tiny=False
+    )
+    assert cfg_off.bin_tiny_px == 0.0
+
+    # Headline-class scene (10k tris): far below the size threshold.
+    verts_s, faces_s = make_grid_mesh(
+        72, extent=1.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    pos_s = get_clip_space_position(
+        jnp.asarray(verts_s, jnp.float32), cam.mvp_mtx
+    )
+    cfg_s = auto_fast_config(
+        pos_s, jnp.asarray(faces_s, jnp.int32), (512, 512),
+        base=FAST_TPU_CONFIG,
+    )
+    assert cfg_s.bin_tiny_px == 0.0
+
+
+def test_classic_rasterize_tiny_bit_exact():
+    """rasterize() (the nvdiffrast-contract entry point) routes through the
+    uv_mode DMA path, whose tiny merge interpolates the one-hot (u, v)
+    corner planes — must be BIT-identical to the all-tile render."""
+    rng = np.random.default_rng(3)
+    pos, tri = _mixed_tiny_scene(rng)
+    base = RasterizerConfig(
+        backend="fused_pallas", dot_precision="highest",
+        bin_sort_pairs_min_tris=0,
+    )
+    exact = rasterize(pos[None], tri, (128, 128), config=base)
+    tiny = rasterize(
+        pos[None], tri, (128, 128),
+        config=base._replace(bin_tiny_px=1.0, bin_flat_cap_abs=1 << 15),
+    )
+    assert int((np.asarray(exact)[..., 3] > 0).sum()) > 4000
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(tiny))

@@ -136,6 +136,8 @@ def _tiny_images(
     tiny: jnp.ndarray,  # (T,) bool — triangles owned by this path
     height: int,
     width: int,
+    tile_h: int,
+    tile_w: int,
 ):
     """Sort-path rasterization of sub-pixel triangles (bin_tiny_px).
 
@@ -173,10 +175,20 @@ def _tiny_images(
         & (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
     )
 
+    # Evaluate with the SAME tile-rebased expression structure as the flat
+    # kernels (constants rebased to the pixel's tile origin, then a local-
+    # coordinate FMA): sub-pixel triangles have steep planes (gradients
+    # ~1/bbox), and a global-coordinate a*px + b*py + c amplifies last-bit
+    # cancellation ~tile-origin/bbox-fold (measured 4e-5 on uv channels vs
+    # last-bit after rebasing).
+    oxf = ((ix // tile_w) * tile_w).astype(jnp.float32)
+    oyf = ((iy // tile_h) * tile_h).astype(jnp.float32)
+    lxf = pxf - oxf  # exact: both are small fp32 integers + 0.5
+    lyf = pyf - oyf
+
     def ev(r):
-        return (
-            rows12[r, :-1] * pxf + rows12[r + 1, :-1] * pyf + rows12[r + 2, :-1]
-        )
+        a, b2, c2 = rows12[r, :-1], rows12[r + 1, :-1], rows12[r + 2, :-1]
+        return a * lxf + b2 * lyf + (c2 + a * oxf + b2 * oyf)
 
     e0, e1, e2, z = ev(0), ev(3), ev(6), ev(9)
     cov = (
@@ -235,8 +247,14 @@ def _tiny_images(
         a = g[:, 0:m:3]
         b = g[:, 1:m:3]
         c = g[:, 2:m:3]
+        # Same tile-rebased eval structure as the candidate pass above.
+        ox_i = (px_img - 0.5) // tile_w * tile_w
+        oy_i = (py_img - 0.5) // tile_h * tile_h
+        lx_i = (px_img - ox_i)[:, None]
+        ly_i = (py_img - oy_i)[:, None]
         vals_img = (
-            a * px_img[:, None] + b * py_img[:, None] + c
+            a * lx_i + b * ly_i
+            + (c + a * ox_i[:, None] + b * oy_i[:, None])
         ).T.reshape(m // 3, height, width)
     return z_img, idm_img, vals_img
 
@@ -757,6 +775,7 @@ def _gbuffer_single(
         z_tiny, id_tiny, v_tiny = _tiny_images(
             rows12, attr_rows, bbox4,
             _tiny_mask(setup, config.bin_tiny_px), height, width,
+            tile_h, tile_w,
         )
         z, tid, vals = _merge_zidvals(z, tid, vals, z_tiny, id_tiny, v_tiny)
 
@@ -887,6 +906,7 @@ def _gbuffer_dma_batched(
         tiny_imgs = _tiny_images(
             setup.planes12, attr_rows, setup.bbox4,
             _tiny_mask(setup, config.bin_tiny_px), height, width,
+            tile_h, tile_w,
         )
         return chunks, tiny_imgs
 

@@ -154,7 +154,10 @@ class RasterizerConfig(NamedTuple):
     # on TPU). Work becomes O(T log T) instead of O(T * tile_pixels).
     # 0 = off; 1.0 is the exactness bound (a 1 px bbox can contain at most
     # one pixel center per axis). Values > 1 would need multi-candidate
-    # emission and are rejected.
+    # emission and are rejected. Only the fused G-buffer paths honor it
+    # (rasterize_gbuffer / render); the classic rasterize() pipeline
+    # ignores it (tiny triangles still render via tiles — correct, just
+    # without the speedup).
     bin_tiny_px: float = 0.0
     # Absolute cap on the flat binned-entry list (0 = none; combined with
     # bin_flat_cap_factor by min). With bin_tiny_px on, live entries can be
@@ -1171,6 +1174,9 @@ def _binning_stats_jit(pos, tri, resolution, config):
                 tiny_px=config.bin_tiny_px,
             )
         )
+        # Potential tiny count at the 1 px exactness bound, regardless of
+        # config (lets auto_fast_config decide whether the sort path pays).
+        n_tiny = jnp.sum(_tiny_mask(setup, 1.0))
         if config.bin_tiny_px > 0:
             # Tiny triangles produce NO replica keys or per-tile entries
             # (they go through the sort path) — keep the guard in lockstep.
@@ -1189,12 +1195,12 @@ def _binning_stats_jit(pos, tri, resolution, config):
         grid = grid.at[ty1 + 1, tx0].add(-one)
         grid = grid.at[ty1 + 1, tx1 + 1].add(one)
         counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:n_ty, :n_tx]
-        return n_huge, n_med, live, counts.max()
+        return n_huge, n_med, live, counts.max(), n_tiny
 
-    n_huge, n_med, live, max_tile = jax.vmap(per_view)(pos)
+    n_huge, n_med, live, max_tile, n_tiny = jax.vmap(per_view)(pos)
     return (
         n_huge.max(), n_med.max(), live.max(), max_tile.max(),
-        jnp.int32(k_cap),
+        jnp.int32(k_cap), n_tiny.max(),
     )
 
 
@@ -1205,6 +1211,7 @@ def auto_fast_config(
     base: RasterizerConfig = FAST_TPU_CONFIG,
     headroom: float = 2.0,
     extra_probes=(),
+    auto_tiny: bool = True,
 ) -> RasterizerConfig:
     """Scene-adaptive binning budgets for the fast path.
 
@@ -1224,6 +1231,20 @@ def auto_fast_config(
     # SAME config must stay lossless for (e.g. camera_projection's UV-atlas
     # pass alongside its view renders) — each budget sizes to the worst
     # probe.
+    if auto_tiny and base.bin_tiny_px == 0:
+        # Heavily sub-pixel scenes (high-poly meshes at moderate screen
+        # sizes) hit the tile kernel's O(T * tile_px) cliff; the two-sort
+        # tiny path renders the same geometry 2.5x faster at 1M tris (see
+        # docs/PERF.md). The sorts cost O((T + H*W) log) per view whether
+        # they pay or not, so only engage when the tile-path savings
+        # clearly dominate: most triangles sub-pixel AND enough of them
+        # that the cliff is real. Thresholds are conservative; callers can
+        # always set bin_tiny_px explicitly (or pass auto_tiny=False).
+        t_total = int(tri.shape[0])
+        if t_total >= 300_000:
+            pre = binning_stats(pos, tri, resolution, base)
+            if pre["n_tiny_1px"] >= 0.6 * t_total:
+                base = base._replace(bin_tiny_px=1.0)
     probe = base._replace(bin_med=max(base.bin_med, 1))
     probes = [(pos, tri, resolution)] + list(extra_probes)
     stats_list = [binning_stats(p, t, r, probe) for p, t, r in probes]
@@ -1280,7 +1301,7 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
     Returns a dict with the worst-case-over-views numbers and their
     configured capacities; ``ok`` is True iff every budget holds, i.e. the
     flat binning is guaranteed lossless for this scene/config."""
-    n_huge, n_med, live, max_tile, k_cap = _binning_stats_jit(
+    n_huge, n_med, live, max_tile, k_cap, n_tiny = _binning_stats_jit(
         jnp.asarray(pos, jnp.float32), jnp.asarray(tri, jnp.int32),
         tuple(resolution), config,
     )
@@ -1300,6 +1321,10 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
         "flat_cap": int(min(flat_cap, 2**62)),
         "max_per_tile": int(max_tile),
         "k_cap": int(k_cap),
+        # Triangles whose bbox is < 1 px in both axes (the sort-path
+        # candidates) — informational; bin_tiny_px decides whether they
+        # actually leave the tile pipeline.
+        "n_tiny_1px": int(n_tiny),
     }
     stats["ok"] = (
         stats["n_huge"] <= stats["huge_budget"]
