@@ -179,6 +179,16 @@ def _render_views_per_sec(
         stats = binning_stats(pos_clip, mesh.t_pos_idx, (height, width), cfg)
         assert stats["ok"], f"binning budgets lossy for this scene: {stats}"
 
+    if render_kw.get("render_normal") and mesh.v_nrm is None:
+        # Static geometry: vertex normals are view-independent — compute
+        # them ONCE eagerly, as the reference does at mesh load
+        # (mesh.py:85-119 auto_normals). Leaving it to the traced render
+        # re-splats per jit call: a TPU scatter-add, ~serial, traced at
+        # 137 ms/frame for 1M triangles.
+        from worldrenderer_tpu.mesh import with_normals
+
+        mesh = with_normals(mesh)
+
     n_views = int(cam.mvp_mtx.shape[0])
     render_fn = functools.partial(render, height=height, width=width, **render_kw)
 

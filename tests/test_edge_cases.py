@@ -72,3 +72,77 @@ def test_single_pixel_resolution():
     rast = np.asarray(rasterize(pos_clip, jnp.asarray(faces, jnp.int32), (1, 1)))
     assert rast.shape == (1, 1, 1, 4)
     assert np.isfinite(rast).all()
+
+
+class TestIncidenceSplat:
+    """The gather-based vertex splat (static incidence table) must match
+    jax.ops.segment_sum exactly in coverage and to fp tolerance in values
+    (summation order differs). TPU scatters are ~serial — the table path
+    is what makes in-jit normal recomputation affordable (mesh.py)."""
+
+    def _random_mesh(self, rng, n_v=500, n_t=900, degenerate=False):
+        import jax.numpy as jnp
+
+        v = rng.normal(size=(n_v, 3)).astype(np.float32)
+        t = rng.integers(0, n_v, size=(n_t, 3)).astype(np.int32)
+        if degenerate:
+            t[::7, 1] = t[::7, 0]  # repeated vertex inside a face
+        return jnp.asarray(v), jnp.asarray(t)
+
+    @pytest.mark.parametrize("degenerate", [False, True])
+    def test_matches_segment_sum(self, degenerate):
+        import jax
+        import jax.numpy as jnp
+
+        from worldrenderer_tpu.mesh import (
+            _corner_incidence,
+            _splat_to_vertices,
+        )
+
+        rng = np.random.default_rng(11)
+        v, t = self._random_mesh(rng, degenerate=degenerate)
+        vals = jnp.asarray(rng.normal(size=(t.shape[0], 3)).astype(np.float32))
+        assert _corner_incidence(t, v.shape[0]) is not None  # table path on
+        got = _splat_to_vertices(vals, t, v.shape[0])
+        i0, i1, i2 = t[:, 0], t[:, 1], t[:, 2]
+        want = jax.ops.segment_sum(
+            jnp.concatenate([vals] * 3),
+            jnp.concatenate([i0, i1, i2]),
+            num_segments=v.shape[0],
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=1e-5
+        )
+
+    def test_tracer_falls_back(self):
+        import jax
+        import jax.numpy as jnp
+
+        from worldrenderer_tpu.mesh import compute_vertex_normals
+
+        rng = np.random.default_rng(12)
+        v, t = self._random_mesh(rng)
+        eager = compute_vertex_normals(v, t)
+        jitted = jax.jit(compute_vertex_normals)(v, t)  # t becomes a tracer
+        np.testing.assert_allclose(
+            np.asarray(eager), np.asarray(jitted), rtol=0, atol=1e-6
+        )
+
+    def test_high_degree_falls_back(self):
+        import jax.numpy as jnp
+
+        from worldrenderer_tpu.mesh import (
+            _INCIDENCE_MAXDEG_CAP,
+            _corner_incidence,
+            compute_vertex_normals,
+        )
+
+        n_t = _INCIDENCE_MAXDEG_CAP + 8
+        t = np.zeros((n_t, 3), np.int32)  # a fan: vertex 0 on every face
+        t[:, 1] = 1 + np.arange(n_t) % 3
+        t[:, 2] = 4 + np.arange(n_t) % 3
+        t = jnp.asarray(t)
+        assert _corner_incidence(t, 8) is None
+        v = jnp.asarray(np.random.default_rng(13).normal(size=(8, 3)).astype(np.float32))
+        out = compute_vertex_normals(v, t)
+        assert np.isfinite(np.asarray(out)).all()

@@ -76,16 +76,83 @@ class TexturedMesh(NamedTuple):
         return None if self.texture is None else self.texture.shape[0]
 
 
+_INCIDENCE_CACHE: dict = {}
+_INCIDENCE_CACHE_CAP = 8
+_INCIDENCE_MAXDEG_CAP = 64
+
+
+def _corner_incidence(t_pos_idx, n_vertices: int):
+    """(V, maxdeg) int32 table of incident FACE ids per vertex (one entry
+    per incident corner, padded with T) + the (V,) f32 corner counts — or
+    None when the topology is a tracer or a vertex exceeds the degree cap.
+
+    TPU scatters are ~serial (the segment_sum face-normal splat traced at
+    137 ms/frame for 1M triangles), while gathers run at the per-row floor;
+    for a CONCRETE topology the corner->vertex incidence is static, so the
+    splat becomes a (V*maxdeg)-row gather + a dense axis sum — ~10x faster
+    and with a deterministic per-vertex summation order. Built host-side
+    once per topology (memoized; the one-time device pull of t_pos_idx is
+    amortized by the cache)."""
+    if isinstance(t_pos_idx, jax.core.Tracer):
+        return None
+    key = (id(t_pos_idx), int(n_vertices))
+    hit = _INCIDENCE_CACHE.get(key)
+    if hit is not None:
+        return hit[1]
+    if isinstance(t_pos_idx, jax.Array) and t_pos_idx.nbytes > (4 << 20):
+        # A big topology resident on a remote device: pulling it host-side
+        # (axon tunnel ~2 MB/s) costs more than the one scatter it saves.
+        try:
+            plat = next(iter(t_pos_idx.devices())).platform
+        except Exception:
+            plat = "cpu"
+        if plat != "cpu":
+            return None
+    tri = np.asarray(t_pos_idx)
+    t_total = int(tri.shape[0])
+    idx = tri.T.reshape(-1).astype(np.int64)  # corner-major, face = k % T
+    counts = np.bincount(idx, minlength=n_vertices)
+    maxdeg = int(counts.max()) if counts.size else 0
+    if maxdeg > _INCIDENCE_MAXDEG_CAP:
+        out = None  # pathological fan vertex: (V, maxdeg) would blow up
+    else:
+        order = np.argsort(idx, kind="stable")
+        starts = np.zeros(n_vertices + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        offs = np.arange(idx.size, dtype=np.int64) - starts[idx[order]]
+        tbl = np.full((n_vertices, max(maxdeg, 1)), t_total, np.int32)
+        tbl[idx[order], offs] = (order % t_total).astype(np.int32)
+        out = (jnp.asarray(tbl), jnp.asarray(counts.astype(np.float32)))
+    if len(_INCIDENCE_CACHE) >= _INCIDENCE_CACHE_CAP:
+        _INCIDENCE_CACHE.pop(next(iter(_INCIDENCE_CACHE)))
+    _INCIDENCE_CACHE[key] = (t_pos_idx, out)
+    return out
+
+
+def _splat_to_vertices(vals: jnp.ndarray, t_pos_idx, n: int) -> jnp.ndarray:
+    """Sum per-face rows ``vals`` (T, C) onto each face's three vertices.
+    Gather-based via the static incidence table when the topology is
+    concrete; jax.ops.segment_sum otherwise (tracers / degree-capped)."""
+    inc = _corner_incidence(t_pos_idx, n)
+    if inc is not None:
+        tbl, _ = inc
+        padded = jnp.concatenate(
+            [vals, jnp.zeros((1, vals.shape[1]), vals.dtype)]
+        )
+        return padded[tbl].sum(axis=1)
+    i0, i1, i2 = t_pos_idx[:, 0], t_pos_idx[:, 1], t_pos_idx[:, 2]
+    idx = jnp.concatenate([i0, i1, i2])
+    return jax.ops.segment_sum(jnp.concatenate([vals] * 3), idx, num_segments=n)
+
+
 def compute_vertex_normals(v_pos: jnp.ndarray, t_pos_idx: jnp.ndarray) -> jnp.ndarray:
     """Area-weighted vertex normals by splatting face normals
-    (reference mesh.py:85-119), as a segment-sum."""
+    (reference mesh.py:85-119), as a gather-splat / segment-sum."""
     i0, i1, i2 = t_pos_idx[:, 0], t_pos_idx[:, 1], t_pos_idx[:, 2]
     v0, v1, v2 = v_pos[i0], v_pos[i1], v_pos[i2]
     face_normals = jnp.cross(v1 - v0, v2 - v0)  # (T, 3)
     n = v_pos.shape[0]
-    idx = jnp.concatenate([i0, i1, i2])
-    vals = jnp.concatenate([face_normals] * 3)
-    v_nrm = jax.ops.segment_sum(vals, idx, num_segments=n)
+    v_nrm = _splat_to_vertices(face_normals, t_pos_idx, n)
     v_nrm = jnp.where(
         dot(v_nrm, v_nrm) > 1e-20, v_nrm, jnp.array([0.0, 0.0, 1.0], v_nrm.dtype)
     )
@@ -116,10 +183,18 @@ def compute_vertex_tangents(
     tang = nom / denom_safe  # (T, 3)
 
     n = v_pos.shape[0]
-    idx = jnp.concatenate([t_pos_idx[:, 0], t_pos_idx[:, 1], t_pos_idx[:, 2]])
-    vals = jnp.concatenate([tang] * 3)
-    tangents = jax.ops.segment_sum(vals, idx, num_segments=n)
-    tansum = jax.ops.segment_sum(jnp.ones_like(vals), idx, num_segments=n)
+    tangents = _splat_to_vertices(tang, t_pos_idx, n)
+    inc = _corner_incidence(t_pos_idx, n)
+    if inc is not None:
+        tansum = inc[1][:, None]  # corner counts, host-derived constants
+    else:
+        idx = jnp.concatenate(
+            [t_pos_idx[:, 0], t_pos_idx[:, 1], t_pos_idx[:, 2]]
+        )
+        tansum = jax.ops.segment_sum(
+            jnp.ones((3 * t_pos_idx.shape[0], 3), tang.dtype), idx,
+            num_segments=n,
+        )
     tangents = tangents / jnp.maximum(tansum, 1.0)
 
     tangents = normalize(tangents)

@@ -206,12 +206,26 @@ def _tiny_images(
     zb_all = jnp.concatenate([zb, jnp.full((hw,), _I32_MAX, jnp.int32)])
     tid_all = jnp.concatenate([tid, jnp.full((hw,), _I32_MAX, jnp.int32)])
 
-    pix_s, zb_s, tid_s = jax.lax.sort((pix_all, zb_all, tid_all), num_keys=3)
+    # UNSTABLE sorts: (pix, zb, tid) triples are unique (tid is unique per
+    # candidate; sentinels differ in pix), so all three ride as keys and no
+    # stability is needed — jax.lax.sort's default is_stable=True made XLA
+    # carry a 4th iota operand through both 1.26M-entry sorts (traced:
+    # 12 ms/view at 1M tris). (An i64 (pix << 32 | zb) key pack would drop
+    # another operand but jnp.int64 silently truncates to int32 under the
+    # default jax_enable_x64=False — not available.)
+    pix_s, zb_s, tid_s = jax.lax.sort(
+        (pix_all, zb_all, tid_all), num_keys=3, is_stable=False
+    )
     first = jnp.concatenate(
         [jnp.ones((1,), bool), pix_s[1:] != pix_s[:-1]]
     )
+    # Winners have UNIQUE winkeys (exactly one first entry per pixel, every
+    # pixel has >= 1 entry) and the winkey = hw mass is discarded, so the
+    # compaction sort is unstable too.
     winkey = jnp.where(first & (pix_s < hw), pix_s, hw)
-    _, zb_w, tid_w = jax.lax.sort((winkey, zb_s, tid_s), num_keys=1)
+    _, zb_w, tid_w = jax.lax.sort(
+        (winkey, zb_s, tid_s), num_keys=1, is_stable=False
+    )
     zb_img = zb_w[:hw]
     tid_img = tid_w[:hw]
 

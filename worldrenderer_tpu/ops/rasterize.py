@@ -819,7 +819,11 @@ def _bin_flat(
         )
         keys = jnp.concatenate([keys, hkeys.reshape(-1)])
 
-    keys = jnp.sort(keys)
+    # Keys encode (tile, tri) pairs uniquely (duplicates are impossible
+    # except interchangeable sentinels), so an UNSTABLE single-operand sort
+    # is exact — jnp.sort's default stability made XLA carry an extra iota
+    # operand through the whole 4M-entry sort (traced on the 1M-tri scene).
+    (keys,) = jax.lax.sort((keys,), num_keys=1, is_stable=False)
     cap = keys.shape[0]
     if flat_cap_factor > 0:
         cap = min(cap, flat_cap_factor * t_total)
