@@ -138,6 +138,7 @@ def _tiny_images(
     width: int,
     tile_h: int,
     tile_w: int,
+    defer: bool = False,
 ):
     """Sort-path rasterization of sub-pixel triangles (bin_tiny_px).
 
@@ -223,13 +224,66 @@ def _tiny_images(
     # pixel has >= 1 entry) and the winkey = hw mass is discarded, so the
     # compaction sort is unstable too.
     winkey = jnp.where(first & (pix_s < hw), pix_s, hw)
-    _, zb_w, tid_w = jax.lax.sort(
-        (winkey, zb_s, tid_s), num_keys=1, is_stable=False
-    )
-    zb_img = zb_w[:hw]
-    tid_img = tid_w[:hw]
 
+    if attr_rows is None:
+        _, zb_w, tid_w = jax.lax.sort(
+            (winkey, zb_s, tid_s), num_keys=1, is_stable=False
+        )
+        zb_img = zb_w[:hw]
+        tid_img = tid_w[:hw]
+        bg = tid_img == _I32_MAX
+        z_img = jnp.where(
+            bg, jnp.inf,
+            jax.lax.bitcast_convert_type(
+                zb_img ^ jax.lax.shift_right_arithmetic(zb_img, 31)
+                & jnp.int32(0x7FFFFFFF),
+                jnp.float32,
+            ),
+        ).reshape(height, width)
+        idm_img = jnp.where(
+            bg, jnp.float32(_BIG_SLOT), tid_img.astype(jnp.float32)
+        ).reshape(height, width)
+        return z_img, idm_img, None
+
+    # With attributes, the per-candidate zb rides the record table as a
+    # BITCAST f32 column instead of a sort payload: gathers transport
+    # bits untouched, so zb_img == the dropped payload exactly while the
+    # compaction sort sheds 1/3 of its operand traffic (traced 1.66
+    # ms/view at 1M tris). Sentinel z column = _I32_MAX bits (background
+    # pixels are masked to +inf downstream regardless).
+    _, tid_w = jax.lax.sort((winkey, tid_s), num_keys=1, is_stable=False)
+    tid_img = tid_w[:hw]
+    zrow = jax.lax.bitcast_convert_type(
+        jnp.concatenate([zb, jnp.full((1,), _I32_MAX, jnp.int32)]),
+        jnp.float32,
+    )[None]  # (1, T+1)
+    table = jnp.concatenate([attr_rows, zrow], axis=0).T  # (T+1, m+1)
+    if defer:
+        # Batched callers hoist the per-pixel winner-record gather out of
+        # their view vmap: a batched (V, T+1, m+1) gather operand gets a
+        # PLANAR layout (each row read = m+1 separate HBM transactions,
+        # traced 29.8 ns/row at 1M tris); the flattened 2D table gathers
+        # rows contiguously (probe: 16.9 -> 12.1 ns/row at 12 cols).
+        return tid_img, table
     bg = tid_img == _I32_MAX
+    g = table[jnp.where(bg, t_total, tid_img)]  # sentinel attr rows: zeros
+    return _tiny_finish(g, tid_img, height, width, tile_h, tile_w)
+
+
+def _tiny_finish(
+    g: jnp.ndarray,  # (HW, m+1) gathered winner records [attr planes | zb]
+    tid_img: jnp.ndarray,  # (HW,) winner ids, _I32_MAX for background
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+):
+    """Post-gather half of the attr-carrying tiny path: decode the bitcast
+    zb column and evaluate the winner attribute planes at the pixel coords
+    (same tile-rebased expression structure as the candidate pass)."""
+    hw = height * width
+    bg = tid_img == _I32_MAX
+    zb_img = jax.lax.bitcast_convert_type(g[:, -1], jnp.int32)
     z_img = jnp.where(
         bg, jnp.inf,
         jax.lax.bitcast_convert_type(
@@ -242,34 +296,25 @@ def _tiny_images(
         bg, jnp.float32(_BIG_SLOT), tid_img.astype(jnp.float32)
     ).reshape(height, width)
 
-    vals_img = None
-    if attr_rows is not None:
-        # Per-pixel winner attribute planes: one row gather from the
-        # (T+1, m) table (m <= ~16 f32 columns — under the gather column
-        # cliff) + a VPU plane eval at the pixel coords.
-        table = attr_rows.T  # (T+1, m)
-        rowsel = jnp.where(bg, t_total, tid_img)  # sentinel row is zeros
-        g = table[rowsel]  # (HW, m)
-        m = g.shape[1]
-        px_img = (
-            jax.lax.broadcasted_iota(jnp.float32, (hw,), 0) % width + 0.5
-        )
-        py_img = (
-            jnp.floor(jax.lax.broadcasted_iota(jnp.float32, (hw,), 0) / width)
-            + 0.5
-        )
-        a = g[:, 0:m:3]
-        b = g[:, 1:m:3]
-        c = g[:, 2:m:3]
-        # Same tile-rebased eval structure as the candidate pass above.
-        ox_i = (px_img - 0.5) // tile_w * tile_w
-        oy_i = (py_img - 0.5) // tile_h * tile_h
-        lx_i = (px_img - ox_i)[:, None]
-        ly_i = (py_img - oy_i)[:, None]
-        vals_img = (
-            a * lx_i + b * ly_i
-            + (c + a * ox_i[:, None] + b * oy_i[:, None])
-        ).T.reshape(m // 3, height, width)
+    m = g.shape[1] - 1
+    px_img = (
+        jax.lax.broadcasted_iota(jnp.float32, (hw,), 0) % width + 0.5
+    )
+    py_img = (
+        jnp.floor(jax.lax.broadcasted_iota(jnp.float32, (hw,), 0) / width)
+        + 0.5
+    )
+    a = g[:, 0:m:3]
+    b = g[:, 1:m:3]
+    c = g[:, 2:m:3]
+    ox_i = (px_img - 0.5) // tile_w * tile_w
+    oy_i = (py_img - 0.5) // tile_h * tile_h
+    lx_i = (px_img - ox_i)[:, None]
+    ly_i = (py_img - oy_i)[:, None]
+    vals_img = (
+        a * lx_i + b * ly_i
+        + (c + a * ox_i[:, None] + b * oy_i[:, None])
+    ).T.reshape(m // 3, height, width)
     return z_img, idm_img, vals_img
 
 
@@ -411,6 +456,7 @@ def _flat_chunks(
     l_cap: int,
     a3=None,
     chunk_slice_mode: str = "dynamic",
+    defer: bool = False,
 ):
     """Build the 128-aligned chunked flat coefficient lists consumed by the
     DMA kernel (gbuffer_pallas.gbuffer_tiles_dma).
@@ -496,7 +542,47 @@ def _flat_chunks(
     )  # zeroed e0 alpha/beta keep the rebase from overflowing past BIG_NEG
     record_t = jnp.concatenate([planes_rec, attr_rows], axis=0)
     # (12 + 3nv, T+1)
+    if defer:
+        # Batched callers hoist the record gather out of their view vmap:
+        # a batched (V, T+1, R) gather operand gets a PLANAR layout {1,2,0}
+        # — each gathered row = R separate HBM transactions ~4 MB apart,
+        # traced at 40.7 ns/row on the raw-1M scene (11.3 ms/view) vs the
+        # 4-6 ns/row floor of 2D row-major tables. Flattening views into
+        # the row dim recovers the row-major layout (on-chip probe:
+        # 24.6 -> 18.3 ns/row at 24 cols; column-splitting LOSES, 23.4).
+        return (
+            record_t.T,  # (T+1, R) per view -> (V*(T+1), R) outside
+            flat_ids,
+            chunk_tile,
+            start_chunks.astype(jnp.int32),
+            (aligned // c).astype(jnp.int32),
+        )
     rec_t = record_t.T[flat_ids].T  # gather rows, one small + one big transpose
+    planes_flat, sel_flat = _flat_chunks_finish(
+        rec_t, flat_ids, chunk_tile, n_tx, tile_w, tile_h, c
+    )
+    return (
+        planes_flat,
+        sel_flat,
+        start_chunks.astype(jnp.int32),
+        (aligned // c).astype(jnp.int32),
+    )
+
+
+def _flat_chunks_finish(
+    rec_t: jnp.ndarray,  # (12 + 3nv, l_cap) gathered per-entry records
+    flat_ids: jnp.ndarray,  # (l_cap,) triangle ids, t_total = dead lane
+    chunk_tile: jnp.ndarray,  # (NCH,) owning tile per chunk
+    n_tx: int,
+    tile_w: int,
+    tile_h: int,
+    c: int,
+):
+    """Post-gather half of :func:`_flat_chunks`: tile-origin rebase + the
+    chunk-contiguous [planes | select-rows] re-layout the DMA kernel reads."""
+    nv = (rec_t.shape[0] - 12) // 3
+    l_cap = flat_ids.shape[0]
+    nch_total = l_cap // c
     p12 = rec_t[:12].reshape(4, 3, l_cap)
     pa = p12[:, 0]  # (4, l_cap) alpha of e0, e1, e2, z
     pb = p12[:, 1]
@@ -550,12 +636,7 @@ def _flat_chunks(
         axis=0,
     )  # (m_pad, l_cap) chunk-contiguous
 
-    return (
-        planes_flat,
-        sel_flat,
-        start_chunks.astype(jnp.int32),
-        (aligned // c).astype(jnp.int32),
-    )
+    return planes_flat, sel_flat
 
 
 def _gather_tile_rows(
@@ -908,7 +989,7 @@ def _gbuffer_dma_batched(
         )
         chunks = _flat_chunks(
             setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,
-            a3=a3, chunk_slice_mode=config.chunk_slice_mode,
+            a3=a3, chunk_slice_mode=config.chunk_slice_mode, defer=True,
         )
         if not tiny_on:
             return chunks, (None, None, None)
@@ -920,13 +1001,41 @@ def _gbuffer_dma_batched(
         tiny_imgs = _tiny_images(
             setup.planes12, attr_rows, setup.bbox4,
             _tiny_mask(setup, config.bin_tiny_px), height, width,
-            tile_h, tile_w,
+            tile_h, tile_w, defer=n_attr > 0,
         )
         return chunks, tiny_imgs
 
-    (planes_flat, sel_flat, start_chunks, n_chunks), tiny_imgs = jax.vmap(
-        prep
-    )(pos, v_all)
+    (rtab_t, flat_ids, chunk_tile, start_chunks, n_chunks), tiny_imgs = (
+        jax.vmap(prep)(pos, v_all)
+    )
+
+    # Both record gathers run OUTSIDE the view vmap over flat 2D tables
+    # with per-view global row offsets — see the layout note in
+    # _flat_chunks (planar batched-table layout, ~2.2x per row).
+    goff = jnp.arange(bsz, dtype=jnp.int32)[:, None] * (t_total + 1)
+    r_cols = rtab_t.shape[-1]
+    rec = rtab_t.reshape(bsz * (t_total + 1), r_cols)[
+        (flat_ids + goff).reshape(-1)
+    ]
+    rec_t_b = rec.reshape(bsz, l_cap, r_cols).transpose(0, 2, 1)
+    planes_flat, sel_flat = jax.vmap(
+        functools.partial(
+            _flat_chunks_finish, n_tx=n_tx, tile_w=tile_w, tile_h=tile_h, c=c
+        )
+    )(rec_t_b, flat_ids, chunk_tile)
+
+    if tiny_on and n_attr > 0:
+        tid_img_b, ttab_b = tiny_imgs  # (V, HW), (V, T+1, m+1)
+        trow = jnp.where(tid_img_b == _I32_MAX, t_total, tid_img_b) + goff
+        g_b = ttab_b.reshape(bsz * (t_total + 1), ttab_b.shape[-1])[
+            trow.reshape(-1)
+        ].reshape(bsz, height * width, -1)
+        tiny_imgs = jax.vmap(
+            functools.partial(
+                _tiny_finish, height=height, width=width,
+                tile_h=tile_h, tile_w=tile_w,
+            )
+        )(g_b, tid_img_b)
 
     prec = config.dot_precision
     if prec == "high":

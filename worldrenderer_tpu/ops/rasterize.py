@@ -719,6 +719,24 @@ def _tiny_mask(setup, tiny_px: float):
     )
 
 
+def _topk_small(prio: jnp.ndarray, g: int):
+    """Exact ``lax.top_k`` replacement for small g: g sequential
+    argmax + mask passes under one scan. ``lax.top_k`` lowers to a FULL
+    stable sort carrying an iota operand — traced at 1.9 ms/view on a
+    1M-triangle scene just to select the g=16 huge-tier entries; g argmax
+    reductions read the array g times instead (~0.1 ms). Selection is
+    bit-identical: values descending, first index on ties (argmax returns
+    the first maximum; masking it yields the next)."""
+    neg = jnp.iinfo(prio.dtype).min
+
+    def step(p, _):
+        i = jnp.argmax(p).astype(jnp.int32)
+        return p.at[i].set(neg), (p[i], i)
+
+    _, (vals, idx) = jax.lax.scan(step, prio, None, length=g)
+    return vals, idx
+
+
 def _bin_flat(
     setup: _TriSetup,
     width: int,
@@ -781,7 +799,10 @@ def _bin_flat(
     gm = min(n_med, t_total) if n_med > 0 else 0
     if gm > 0:
         prio_m = jnp.where(medium & on_screen, t_total - tri_idx, 0)
-        mvals, midx = jax.lax.top_k(prio_m, gm)
+        mvals, midx = (
+            _topk_small(prio_m, gm) if gm <= 64
+            else jax.lax.top_k(prio_m, gm)
+        )
         mid = jnp.clip(midx.astype(jnp.int32), 0, t_total - 1)  # (Gm,)
         mvalid = mvals > 0
         mty0, mtx0 = ty0[mid], tx0[mid]
@@ -801,7 +822,10 @@ def _bin_flat(
     g = min(n_huge, t_total) if n_huge > 0 else 0
     if g > 0:
         prio = jnp.where(huge & on_screen, t_total - tri_idx, 0)
-        top_vals, top_idx = jax.lax.top_k(prio, g)
+        top_vals, top_idx = (
+            _topk_small(prio, g) if g <= 64
+            else jax.lax.top_k(prio, g)
+        )
         hid = jnp.clip(top_idx.astype(jnp.int32), 0, t_total - 1)  # (G,)
         hvalid = top_vals > 0
         tiles = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -1283,9 +1307,17 @@ def auto_fast_config(
     if base.bin_tiny_px > 0:
         # With the tiny sort path on, live entries sit far below factor*T
         # (the flat arrays + record gather scale with the cap) — size an
-        # ABSOLUTE cap from the measured worst view instead.
+        # ABSOLUTE cap from the measured worst view instead. Above 64k the
+        # pow2 rounding costs real HBM (a 2^18 cap for 87k live entries put
+        # 3x the live rows through the record gather, ~2 ms/view at 1M
+        # tris); round to 8192 there instead — full ``headroom`` margin is
+        # preserved, only the jit-cache-sharing granule coarsens.
         worst_live = max(st["live_entries"] for st in stats_list)
-        cap_abs = pow2_at_least(int(headroom * worst_live), 4096)
+        need = int(headroom * worst_live)
+        cap_abs = (
+            pow2_at_least(need, 4096) if need <= 65536
+            else -(-need // 8192) * 8192
+        )
     cfg = base._replace(
         bin_med=med, bin_huge=huge, max_tris_per_tile=k_cap,
         bin_flat_cap_factor=cap_factor, bin_flat_cap_abs=cap_abs,
