@@ -26,6 +26,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rasterize import (
     DEFAULT_CONFIG,
@@ -119,7 +120,10 @@ def _attr_planes_t(
     return jnp.pad(rows, [(0, 0), (0, 1)])
 
 
-_I32_MAX = jnp.int32(2**31 - 1)
+# Host-side int (NOT jnp.int32: a module-level device constant would
+# initialize the JAX backend at import time, breaking
+# jax.distributed.initialize and claiming the TPU on bare imports).
+_I32_MAX = np.int32(2**31 - 1)
 
 
 def _z_sort_bits(z: jnp.ndarray) -> jnp.ndarray:
