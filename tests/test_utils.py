@@ -170,3 +170,28 @@ def test_logging_handler_micro_api():
         wlog.remove_handler(custom)
         wlog.set_verbosity_warning()
         assert custom not in wlog.get_logger().handlers
+
+
+def test_import_does_not_initialize_backend():
+    """Importing the package must not touch the JAX backend: an import-time
+    device constant once initialized XLA before jax.distributed.initialize
+    could run (and claimed the TPU tunnel on bare imports). Runs in a
+    subprocess so this test is immune to the suite's own backend state."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "import worldrenderer_tpu\n"
+        "import worldrenderer_tpu.ops.gbuffer\n"
+        "import worldrenderer_tpu.ops.rasterize\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, 'backend initialized at import time'\n"
+        "print('IMPORT_CLEAN')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "IMPORT_CLEAN" in out.stdout
