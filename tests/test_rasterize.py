@@ -934,3 +934,66 @@ def test_classic_rasterize_tiny_bit_exact():
     )
     assert int((np.asarray(exact)[..., 3] > 0).sum()) > 4000
     np.testing.assert_array_equal(np.asarray(exact), np.asarray(tiny))
+
+
+@pytest.mark.parametrize("backend", ["fused", "fused_pallas"])
+def test_small_cap_two_stage_bit_exact(backend):
+    """bin_small_cap switches the small tier to two-stage key emission
+    (compact live ids first, then emit replicas for the prefix only). The
+    live key set is unchanged, so the render must be BIT-identical to the
+    direct emission at any sufficient cap."""
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import binning_stats
+
+    rng = np.random.default_rng(7)
+    pos, tri = _mixed_tiny_scene(rng)
+    attr = jnp.asarray(
+        rng.normal(size=(pos.shape[0], 5)).astype(np.float32)
+    )
+    base = RasterizerConfig(
+        backend=backend, dot_precision="highest", bin_tiny_px=1.0,
+        bin_flat_cap_abs=1 << 15,
+    )
+    stats = binning_stats(pos[None], tri, (128, 128), base)
+    cap = 1 << max(8, int(np.ceil(np.log2(stats["n_small_tris"] + 1))))
+    assert cap < int(tri.shape[0])  # two-stage actually engages
+    direct = rasterize_gbuffer(pos[None], tri, attr, (128, 128), config=base)
+    two_stage = rasterize_gbuffer(
+        pos[None], tri, attr, (128, 128),
+        config=base._replace(bin_small_cap=cap),
+    )
+    for field in ("mask", "z", "tri_id", "attr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(direct, field)),
+            np.asarray(getattr(two_stage, field)),
+            err_msg=f"{backend}/{field}",
+        )
+    # The lossiness guard sees an overflowing cap.
+    bad = binning_stats(
+        pos[None], tri, (128, 128), base._replace(bin_small_cap=8)
+    )
+    assert not bad["ok"]
+    good = binning_stats(
+        pos[None], tri, (128, 128), base._replace(bin_small_cap=cap)
+    )
+    assert good["ok"], good
+
+
+def test_auto_fast_config_sizes_small_cap():
+    """With the tiny path on, auto_fast_config must size bin_small_cap from
+    the measured live small-tier count (two-stage emission shrinks the
+    binning sort on tiny-heavy scenes) and still validate lossless."""
+    from worldrenderer_tpu.ops.rasterize import (
+        FAST_TPU_CONFIG,
+        auto_fast_config,
+        binning_stats,
+    )
+
+    rng = np.random.default_rng(8)
+    pos, tri = _mixed_tiny_scene(rng, n_big=30, n_tiny=8000)
+    base = FAST_TPU_CONFIG._replace(bin_tiny_px=1.0)
+    cfg = auto_fast_config(pos[None], tri, (128, 128), base=base)
+    assert cfg.bin_small_cap > 0
+    stats = binning_stats(pos[None], tri, (128, 128), cfg)
+    assert stats["ok"], stats
+    assert stats["n_small_tris"] <= cfg.bin_small_cap

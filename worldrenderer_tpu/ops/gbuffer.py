@@ -803,6 +803,7 @@ def _gbuffer_single(
             med_span_x=config.bin_med_span_x,
             tiny_px=config.bin_tiny_px,
             cap_abs=config.bin_flat_cap_abs,
+            small_cap=config.bin_small_cap,
         )
         coeffs, counts = _gather_tile_rows_flat(
             all_planes, setup.valid, flat, origin, min(max_per_tile, t_total),
@@ -990,6 +991,7 @@ def _gbuffer_dma_batched(
             med_span_x=config.bin_med_span_x,
             tiny_px=config.bin_tiny_px,
             cap_abs=config.bin_flat_cap_abs,
+            small_cap=config.bin_small_cap,
         )
         chunks = _flat_chunks(
             setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,

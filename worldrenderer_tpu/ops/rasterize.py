@@ -166,6 +166,18 @@ class RasterizerConfig(NamedTuple):
     # sized by this cap — auto_fast_config sets it from measured live
     # entries; binning_stats validates it like every other budget.
     bin_flat_cap_abs: int = 0
+    # Two-stage small-tier key emission (0 = off): stage 1 compacts the
+    # live small-tier triangle ids with ONE single-operand T-entry sort,
+    # stage 2 emits span replica keys for just that cap-sized prefix. The
+    # direct emission sorts span_y*span_x*T keys that are ~95% sentinels
+    # on tiny-heavy scenes (bin_tiny_px routes most triangles off the tile
+    # pipeline); two-stage sorts T + cap*span keys instead. Bit-identical
+    # while the cap holds (the live key set is unchanged; overflow drops
+    # the highest triangle ids) — auto_fast_config sizes it from measured
+    # live small-tier counts and binning_stats validates it like every
+    # other budget. Ignored when >= T (two-stage would not shrink the
+    # sort).
+    bin_small_cap: int = 0
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -752,6 +764,7 @@ def _bin_flat(
     med_span_x: int = 4,
     tiny_px: float = 0.0,
     cap_abs: int = 0,
+    small_cap: int = 0,
 ):
     """Flat binning core: ONE sort of (tile, tri) replica pairs.
 
@@ -785,16 +798,47 @@ def _bin_flat(
 
     tri_idx = jnp.arange(t_total, dtype=jnp.int32)
     sentinel = jnp.int32(n_tiles) * jnp.int32(t_total)
-    # Replica pairs: key = tile * T + tri (tile-major; sentinel tiles last).
-    keys = []
-    for sy in range(span_y_max):
-        for sx in range(span_x_max):
-            # Clamp: masked-out lanes still compute tile * T, and an
-            # off-grid tile index could overflow the int32 key space.
-            tile = jnp.minimum((ty0 + sy) * n_tx + (tx0 + sx), n_tiles)
-            valid = small & (sx < span_x) & (sy < span_y)
-            keys.append(jnp.where(valid, tile * t_total + tri_idx, sentinel))
-    keys = jnp.concatenate(keys)  # (T * span_y_max * span_x_max,)
+    sc = min(small_cap, t_total) if small_cap > 0 else 0
+    if 0 < sc < t_total:
+        # Two-stage small-tier emission (see RasterizerConfig.bin_small_cap):
+        # compact live small-tier ids with ONE single-operand T-entry sort
+        # (ids unique -> unstable is exact), then emit replica keys for the
+        # sc-sized prefix only. Downstream-identical to direct emission
+        # while sc holds every live small id (the live key set is the same,
+        # only sentinel multiplicity differs); overflow drops the HIGHEST
+        # triangle ids deterministically — binning_stats guards it.
+        skey = jnp.where(small, tri_idx, jnp.int32(t_total))
+        (skey,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
+        sid = skey[:sc]  # ascending live ids; t_total sentinels in the tail
+        slive = sid < t_total
+        sid_c = jnp.minimum(sid, t_total - 1)
+        # One 4-column row gather (the per-row latency floor makes one wide
+        # gather beat four 1-column gathers; see docs/PERF.md §1).
+        geo = jnp.stack([ty0, tx0, span_y, span_x], axis=1)[sid_c]
+        sty0, stx0 = geo[:, 0], geo[:, 1]
+        ssy, ssx = geo[:, 2], geo[:, 3]
+        keys = []
+        for sy in range(span_y_max):
+            for sx in range(span_x_max):
+                tile = jnp.minimum((sty0 + sy) * n_tx + (stx0 + sx), n_tiles)
+                valid = slive & (sx < ssx) & (sy < ssy)
+                keys.append(
+                    jnp.where(valid, tile * t_total + sid_c, sentinel)
+                )
+        keys = jnp.concatenate(keys)  # (sc * span_y_max * span_x_max,)
+    else:
+        # Replica pairs: key = tile * T + tri (tile-major; sentinels last).
+        keys = []
+        for sy in range(span_y_max):
+            for sx in range(span_x_max):
+                # Clamp: masked-out lanes still compute tile * T, and an
+                # off-grid tile index could overflow the int32 key space.
+                tile = jnp.minimum((ty0 + sy) * n_tx + (tx0 + sx), n_tiles)
+                valid = small & (sx < span_x) & (sy < span_y)
+                keys.append(
+                    jnp.where(valid, tile * t_total + tri_idx, sentinel)
+                )
+        keys = jnp.concatenate(keys)  # (T * span_y_max * span_x_max,)
 
     gm = min(n_med, t_total) if n_med > 0 else 0
     if gm > 0:
@@ -1194,7 +1238,7 @@ def _binning_stats_jit(pos, tri, resolution, config):
         setup = _triangle_setup_t(pos_clip, tri, width, height)
         # SAME classification code path as _bin_flat (the guard must stay
         # bit-in-lockstep with the binning; see _bin_classify).
-        (tx0, tx1, ty0, ty1, span_x, span_y, on, _small, medium, huge) = (
+        (tx0, tx1, ty0, ty1, span_x, span_y, on, small, medium, huge) = (
             _bin_classify(
                 setup, width, height, tile_h, tile_w,
                 config.bin_span_tiles_y, config.bin_span_tiles_x,
@@ -1202,6 +1246,7 @@ def _binning_stats_jit(pos, tri, resolution, config):
                 tiny_px=config.bin_tiny_px,
             )
         )
+        n_small = jnp.sum(small)  # live small-tier tris (bin_small_cap)
         # Potential tiny count at the 1 px exactness bound, regardless of
         # config (lets auto_fast_config decide whether the sort path pays).
         n_tiny = jnp.sum(_tiny_mask(setup, 1.0))
@@ -1223,12 +1268,12 @@ def _binning_stats_jit(pos, tri, resolution, config):
         grid = grid.at[ty1 + 1, tx0].add(-one)
         grid = grid.at[ty1 + 1, tx1 + 1].add(one)
         counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:n_ty, :n_tx]
-        return n_huge, n_med, live, counts.max(), n_tiny
+        return n_huge, n_med, live, counts.max(), n_tiny, n_small
 
-    n_huge, n_med, live, max_tile, n_tiny = jax.vmap(per_view)(pos)
+    n_huge, n_med, live, max_tile, n_tiny, n_small = jax.vmap(per_view)(pos)
     return (
         n_huge.max(), n_med.max(), live.max(), max_tile.max(),
-        jnp.int32(k_cap), n_tiny.max(),
+        jnp.int32(k_cap), n_tiny.max(), n_small.max(),
     )
 
 
@@ -1318,9 +1363,22 @@ def auto_fast_config(
             pow2_at_least(need, 4096) if need <= 65536
             else -(-need // 8192) * 8192
         )
+    small_cap = base.bin_small_cap
+    if base.bin_tiny_px > 0:
+        # Tiny-heavy scenes leave the small-tier key array ~95% sentinels;
+        # two-stage emission (bin_small_cap) sorts T + cap*span keys
+        # instead of span*T. Size the cap like cap_abs; _bin_flat ignores
+        # it when >= T (two-stage would not shrink the sort).
+        worst_small = max(st["n_small_tris"] for st in stats_list)
+        need_s = int(headroom * worst_small)
+        small_cap = (
+            pow2_at_least(need_s, 4096) if need_s <= 65536
+            else -(-need_s // 8192) * 8192
+        )
     cfg = base._replace(
         bin_med=med, bin_huge=huge, max_tris_per_tile=k_cap,
         bin_flat_cap_factor=cap_factor, bin_flat_cap_abs=cap_abs,
+        bin_small_cap=small_cap,
     )
     for p_i, t_i, r_i in probes:
         final = binning_stats(p_i, t_i, r_i, cfg)
@@ -1337,7 +1395,7 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
     Returns a dict with the worst-case-over-views numbers and their
     configured capacities; ``ok`` is True iff every budget holds, i.e. the
     flat binning is guaranteed lossless for this scene/config."""
-    n_huge, n_med, live, max_tile, k_cap, n_tiny = _binning_stats_jit(
+    n_huge, n_med, live, max_tile, k_cap, n_tiny, n_small = _binning_stats_jit(
         jnp.asarray(pos, jnp.float32), jnp.asarray(tri, jnp.int32),
         tuple(resolution), config,
     )
@@ -1361,12 +1419,20 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
         # candidates) — informational; bin_tiny_px decides whether they
         # actually leave the tile pipeline.
         "n_tiny_1px": int(n_tiny),
+        # Live small-tier triangles (the bin_small_cap budget target).
+        "n_small_tris": int(n_small),
+        "small_cap_budget": int(config.bin_small_cap),
     }
+    small_cap_on = 0 < config.bin_small_cap < t_total
     stats["ok"] = (
         stats["n_huge"] <= stats["huge_budget"]
         and stats["n_med"] <= stats["med_budget"]
         and stats["live_entries"] <= stats["flat_cap"]
         and stats["max_per_tile"] <= stats["k_cap"]
+        and (
+            not small_cap_on
+            or stats["n_small_tris"] <= stats["small_cap_budget"]
+        )
     )
     return stats
 
