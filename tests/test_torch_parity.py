@@ -85,3 +85,31 @@ def test_grid_sample_bicubic_matches_torch(rng):
         mode="bicubic", align_corners=False, padding_mode="zeros",
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_parts_flat_batch_gather_bit_identical(rng):
+    """grid_sample_parts flattens batched quad tables into one 2D gather
+    (batched operands can get a planar layout, ~2.2x per gathered row on
+    TPU); both layouts must produce bit-identical samples, f32 and
+    u8-packed alike."""
+    import importlib
+
+    import jax.numpy as jnp
+
+    gs = importlib.import_module("worldrenderer_tpu.ops.grid_sample")
+    ims = jnp.asarray(rng.normal(size=(5, 37, 53, 3)).astype(np.float32))
+    imq = jnp.asarray(
+        (rng.integers(0, 256, size=(5, 37, 53, 2)) / 255.0).astype(np.float32)
+    )
+    grid = jnp.asarray(
+        rng.uniform(-1.2, 1.2, size=(5, 17, 19, 2)).astype(np.float32)
+    )
+    parts = [(ims, "none"), (imq, "u8")]
+    assert gs._FLAT_BATCH_GATHER  # the shipped default
+    a = gs.grid_sample_parts(parts, grid)
+    try:
+        gs._FLAT_BATCH_GATHER = False
+        b = gs.grid_sample_parts(parts, grid)
+    finally:
+        gs._FLAT_BATCH_GATHER = True
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -66,6 +66,11 @@ def grid_sample(
     return grid_sample_parts([(image, pack_mode)], grid)
 
 
+# Flatten batched quad tables into one 2D (N*qh*qw, cols) gather operand
+# (module flag so tools/ A/B scripts can monkeypatch the vmapped variant).
+_FLAT_BATCH_GATHER = True
+
+
 def grid_sample_parts(
     parts: Sequence[Tuple[jnp.ndarray, str]],
     grid: jnp.ndarray,
@@ -147,7 +152,23 @@ def grid_sample_parts(
             [g[3] for g in groups], axis=-1
         ).reshape(n, qh * qw, -1)
 
-    taps_all = jax.vmap(lambda t, f: t[f])(table, flat)  # (N, Hg, Wg, cols)
+    # Flat 2D gather with global row offsets instead of a vmapped batched
+    # gather: a batched (N, qh*qw, cols) operand can get a PLANAR layout
+    # where every gathered row costs `cols` separate HBM transactions
+    # (traced 2.2x per row on the raw-1M record gather; see docs/PERF.md).
+    # Flattening the batch into the row dim keeps rows contiguous.
+    # Bit-identical: same rows, same order.
+    if _FLAT_BATCH_GATHER and n > 1:
+        cols = table.shape[-1]
+        goff = jnp.arange(n, dtype=jnp.int32).reshape(
+            (n,) + (1,) * (flat.ndim - 1)
+        ) * (qh * qw)
+        taps_all = table.reshape(n * qh * qw, cols)[
+            (flat + goff).reshape(-1)
+        ].reshape(flat.shape + (cols,))
+    else:
+        taps_all = jax.vmap(lambda t, f: t[f])(table, flat)
+    # (N, Hg, Wg, cols)
     # Pin the gather result before its consumers: layout assignment once
     # chose a transposed {0,1} root layout for the fused multi-part
     # gather (a (25M, cols) reshape written column-major — traced at 6x
