@@ -398,16 +398,12 @@ struct Quadric {
     return r;
   }
   double eval(const V3& v) const {
-    const double p[4] = {v.x, v.y, v.z, 1.0};
-    // expand symmetric form
-    double m[4][4];
-    int k = 0;
-    for (int i = 0; i < 4; ++i)
-      for (int j = i; j < 4; ++j) { m[i][j] = q[k]; m[j][i] = q[k]; ++k; }
-    double r = 0;
-    for (int i = 0; i < 4; ++i)
-      for (int j = 0; j < 4; ++j) r += p[i] * m[i][j] * p[j];
-    return r;
+    // Direct symmetric expansion (q is the upper triangle row-major):
+    // v^T Q v with p = (x, y, z, 1); off-diagonal terms count twice.
+    const double x = v.x, y = v.y, z = v.z;
+    return q[0] * x * x + q[4] * y * y + q[7] * z * z + q[9] +
+           2.0 * (q[1] * x * y + q[2] * x * z + q[3] * x + q[5] * y * z +
+                  q[6] * y + q[8] * z);
   }
 };
 
@@ -430,6 +426,8 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
   {
     std::unordered_map<uint64_t, int> edge_count;
     std::unordered_map<uint64_t, int64_t> edge_face;
+    edge_count.reserve(m.f.size() * 3);
+    edge_face.reserve(m.f.size() * 3);
     auto ekey = [](int64_t a, int64_t b) {
       if (a > b) std::swap(a, b);
       return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
@@ -467,6 +465,7 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
 
   struct Cand {
     double cost;
+    V3 pos;  // optimal position computed at push time (stamps gate reuse)
     int64_t a, b;
     int stamp_a, stamp_b;
     bool operator>(const Cand& o) const { return cost > o.cost; }
@@ -485,14 +484,14 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
   };
 
   std::unordered_set<uint64_t> edge_set;
+  edge_set.reserve(m.f.size() * 3);
   auto ekey = [](int64_t a, int64_t b) {
     if (a > b) std::swap(a, b);
     return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
   };
   auto push_edge = [&](int64_t a, int64_t b) {
     auto [cost, pos] = edge_cost(a, b);
-    (void)pos;
-    heap.push({cost, a, b, stamp[a], stamp[b]});
+    heap.push({cost, pos, a, b, stamp[a], stamp[b]});
   };
   for (auto& face : m.f)
     for (int e = 0; e < 3; ++e) {
@@ -508,7 +507,9 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
   std::vector<char> face_dead(m.f.size(), 0);
   int64_t alive = (int64_t)m.f.size();
 
-  auto face_alive_count = [&]() { return alive; };
+  // Reused per-collapse scratch (the collapse loop runs ~T/2 times; fresh
+  // unordered_set / vector allocations per iteration dominated the profile).
+  std::vector<int64_t> still, nbrs;
 
   while (alive > target_faces && !heap.empty()) {
     Cand c = heap.top();
@@ -516,11 +517,11 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
     int64_t a = root(c.a), b = root(c.b);
     if (a == b) continue;
     if (stamp[c.a] != c.stamp_a || stamp[c.b] != c.stamp_b) continue;
+    // Stamps unchanged => quadrics/positions of a and b are exactly as at
+    // push time, so the pushed cost/pos are still valid — no recompute.
 
-    auto [cost, pos] = edge_cost(a, b);
-    (void)cost;
-    // collapse b into a at pos
-    m.v[a] = pos;
+    // collapse b into a at the pushed optimal position
+    m.v[a] = c.pos;
     quadrics[a] = quadrics[a] + quadrics[b];
     uf.p[b] = a;
     stamp[a]++;
@@ -533,9 +534,8 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
     fb.clear();
     std::sort(fa.begin(), fa.end());
     fa.erase(std::unique(fa.begin(), fa.end()), fa.end());
-    std::vector<int64_t> still;
-    still.reserve(fa.size());
-    std::unordered_set<int64_t> nbrs;
+    still.clear();
+    nbrs.clear();
     for (int64_t fi : fa) {
       if (face_dead[fi]) continue;
       auto& face = m.f[fi];
@@ -546,13 +546,15 @@ void qem_decimate(Mesh& m, int64_t target_faces) {
         continue;
       }
       still.push_back(fi);
+      // Linear dedup: vertex degree is small (~6), hashing cost more.
       for (int64_t r : {r0, r1, r2})
-        if (r != a) nbrs.insert(r);
+        if (r != a &&
+            std::find(nbrs.begin(), nbrs.end(), r) == nbrs.end())
+          nbrs.push_back(r);
     }
-    vfaces[a] = std::move(still);
+    vfaces[a].assign(still.begin(), still.end());
     for (int64_t nb : nbrs) push_edge(a, nb);
   }
-  (void)face_alive_count;
 
   // rebuild
   std::vector<std::array<int64_t, 3>> out_f;
@@ -679,6 +681,7 @@ void qem_decimate_tex(std::vector<V5>& verts,
   // Boundary (incl. UV-seam) edge constraints: line quadric, heavy weight.
   {
     std::unordered_map<uint64_t, int> edge_count;
+    edge_count.reserve(fcs.size() * 3);
     auto ekey = [](int64_t a, int64_t b) {
       if (a > b) std::swap(a, b);
       return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
@@ -705,6 +708,7 @@ void qem_decimate_tex(std::vector<V5>& verts,
   auto root = [&](int64_t i) { return uf.find(i); };
   struct Cand {
     double cost;
+    V5 pos;  // optimal position computed at push time (stamps gate reuse)
     int64_t a, b;
     int stamp_a, stamp_b;
     bool operator>(const Cand& o) const { return cost > o.cost; }
@@ -720,14 +724,14 @@ void qem_decimate_tex(std::vector<V5>& verts,
     return std::make_pair(best, pos);
   };
   std::unordered_set<uint64_t> edge_set;
+  edge_set.reserve(fcs.size() * 3);
   auto ekey = [](int64_t a, int64_t b) {
     if (a > b) std::swap(a, b);
     return ((uint64_t)a << 32) | (uint64_t)(uint32_t)b;
   };
   auto push_edge = [&](int64_t a, int64_t b) {
     auto [cost, pos] = edge_cost(a, b);
-    (void)pos;
-    heap.push({cost, a, b, stamp[a], stamp[b]});
+    heap.push({cost, pos, a, b, stamp[a], stamp[b]});
   };
   for (auto& face : fcs)
     for (int e = 0; e < 3; ++e) {
@@ -741,15 +745,18 @@ void qem_decimate_tex(std::vector<V5>& verts,
   std::vector<char> face_dead(fcs.size(), 0);
   int64_t alive = (int64_t)fcs.size();
 
+  // Reused per-collapse scratch (see qem_decimate: fresh allocations per
+  // collapse dominated the profile at 1M faces).
+  std::vector<int64_t> still, nbrs;
+
   while (alive > target_faces && !heap.empty()) {
     Cand c = heap.top();
     heap.pop();
     int64_t a = root(c.a), b = root(c.b);
     if (a == b) continue;
     if (stamp[c.a] != c.stamp_a || stamp[c.b] != c.stamp_b) continue;
-    auto [cost, pos] = edge_cost(a, b);
-    (void)cost;
-    verts[a] = pos;
+    // Stamps unchanged => pushed cost/pos still valid — no recompute.
+    verts[a] = c.pos;
     quadrics[a].accumulate(quadrics[b]);
     uf.p[b] = a;
     stamp[a]++;
@@ -760,9 +767,8 @@ void qem_decimate_tex(std::vector<V5>& verts,
     fb.clear();
     std::sort(fa.begin(), fa.end());
     fa.erase(std::unique(fa.begin(), fa.end()), fa.end());
-    std::vector<int64_t> still;
-    still.reserve(fa.size());
-    std::unordered_set<int64_t> nbrs;
+    still.clear();
+    nbrs.clear();
     for (int64_t fi : fa) {
       if (face_dead[fi]) continue;
       auto& face = fcs[fi];
@@ -774,9 +780,11 @@ void qem_decimate_tex(std::vector<V5>& verts,
       }
       still.push_back(fi);
       for (int64_t r : {r0, r1, r2})
-        if (r != a) nbrs.insert(r);
+        if (r != a &&
+            std::find(nbrs.begin(), nbrs.end(), r) == nbrs.end())
+          nbrs.push_back(r);
     }
-    vfaces[a] = std::move(still);
+    vfaces[a].assign(still.begin(), still.end());
     for (int64_t nb : nbrs) push_edge(a, nb);
   }
 
