@@ -997,3 +997,27 @@ def test_auto_fast_config_sizes_small_cap():
     stats = binning_stats(pos[None], tri, (128, 128), cfg)
     assert stats["ok"], stats
     assert stats["n_small_tris"] <= cfg.bin_small_cap
+
+
+def test_topk_small_matches_lax_topk():
+    """_topk_small (g argmax passes; replaces lax.top_k's full-sort
+    lowering for g <= 64) must match lax.top_k bit-exactly, including the
+    first-index tie rule, on the priority shapes the binning emits."""
+    import jax
+    from worldrenderer_tpu.ops.rasterize import _topk_small
+
+    rng = np.random.default_rng(3)
+    t = 1000
+    cases = [
+        jnp.asarray(rng.integers(0, 50, size=t), jnp.int32),  # heavy ties
+        jnp.zeros((t,), jnp.int32),  # all-sentinel (no live entries)
+        jnp.asarray(
+            np.where(rng.random(t) < 0.01, t - np.arange(t), 0), jnp.int32
+        ),  # sparse live, unique priorities (the actual binning shape)
+    ]
+    for prio in cases:
+        for g in (1, 16, 64):
+            vals_ref, idx_ref = jax.lax.top_k(prio, g)
+            vals, idx = _topk_small(prio, g)
+            np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals_ref))
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
