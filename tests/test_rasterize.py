@@ -917,6 +917,73 @@ def test_auto_fast_config_auto_tiny_trigger():
     assert cfg_s.bin_tiny_px == 0.0
 
 
+@pytest.mark.parametrize("backend", ["fused", "fused_pallas"])
+def test_tiny_cap_bit_exact(backend):
+    """bin_tiny_cap pre-compacts covered tiny candidates before the triple
+    sort — output must be BIT-identical to the uncapped tiny path AND the
+    all-tile exact render while the cap holds every covered candidate."""
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import binning_stats
+
+    rng = np.random.default_rng(7)
+    pos, tri = _mixed_tiny_scene(rng)
+    attr = jnp.asarray(
+        rng.normal(size=(pos.shape[0], 5)).astype(np.float32)
+    )
+    base = RasterizerConfig(
+        backend=backend, dot_precision="highest", bin_tiny_px=1.0,
+        bin_flat_cap_abs=1 << 15,
+    )
+    st = binning_stats(pos[None], tri, (128, 128), base)
+    assert 0 < st["n_tiny_cov"] < int(tri.shape[0])  # compaction is real
+    cap = -(-st["n_tiny_cov"] // 256) * 256
+    capped_cfg = base._replace(bin_tiny_cap=cap)
+    assert binning_stats(pos[None], tri, (128, 128), capped_cfg)["ok"]
+    uncapped = rasterize_gbuffer(pos[None], tri, attr, (128, 128), config=base)
+    capped = rasterize_gbuffer(
+        pos[None], tri, attr, (128, 128), config=capped_cfg
+    )
+    exact = rasterize_gbuffer(
+        pos[None], tri, attr, (128, 128),
+        config=RasterizerConfig(backend=backend, dot_precision="highest"),
+    )
+    assert int(np.asarray(capped.mask).sum()) > 2000
+    for field in ("mask", "z", "tri_id", "attr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(uncapped, field)),
+            np.asarray(getattr(capped, field)),
+            err_msg=f"{backend}/{field} capped-vs-uncapped",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(exact, field)),
+            np.asarray(getattr(capped, field)),
+            err_msg=f"{backend}/{field} capped-vs-exact",
+        )
+
+
+def test_tiny_cap_budget_guard():
+    """An undersized bin_tiny_cap must flag the binning as lossy (ok=False)
+    and auto_fast_config must size a valid cap below T on tiny scenes."""
+    from worldrenderer_tpu.ops.rasterize import (
+        FAST_TPU_CONFIG,
+        auto_fast_config,
+        binning_stats,
+    )
+
+    rng = np.random.default_rng(8)
+    pos, tri = _mixed_tiny_scene(rng, n_big=30, n_tiny=8000)
+    base = FAST_TPU_CONFIG._replace(bin_tiny_px=1.0)
+    st = binning_stats(pos[None], tri, (128, 128), base)
+    assert st["n_tiny_cov"] > 64
+    bad = binning_stats(
+        pos[None], tri, (128, 128), base._replace(bin_tiny_cap=64)
+    )
+    assert not bad["ok"]
+    cfg = auto_fast_config(pos[None], tri, (128, 128), base=base)
+    assert 0 < cfg.bin_tiny_cap < int(tri.shape[0])
+    assert binning_stats(pos[None], tri, (128, 128), cfg)["ok"]
+
+
 def test_classic_rasterize_tiny_bit_exact():
     """rasterize() (the nvdiffrast-contract entry point) routes through the
     uv_mode DMA path, whose tiny merge interpolates the one-hot (u, v)

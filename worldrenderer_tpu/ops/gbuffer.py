@@ -133,39 +133,21 @@ def _z_sort_bits(z: jnp.ndarray) -> jnp.ndarray:
     return b ^ jax.lax.shift_right_arithmetic(b, 31) & jnp.int32(0x7FFFFFFF)
 
 
-def _tiny_images(
+def _tiny_candidates(
     rows12: jnp.ndarray,  # (12, T+1) [e0_a, e0_b, e0_g, e1..., e2..., z...]
-    attr_rows,  # ((A+1)*3, T+1) numerator planes + denominator, or None
     bbox4: jnp.ndarray,  # (4, T+1) xmin, xmax, ymin, ymax
     tiny: jnp.ndarray,  # (T,) bool — triangles owned by this path
     height: int,
     width: int,
     tile_h: int,
     tile_w: int,
-    defer: bool = False,
 ):
-    """Sort-path rasterization of sub-pixel triangles (bin_tiny_px).
-
-    A triangle whose bbox is < 1 px in both axes contains AT MOST ONE
-    pixel center per axis, so each tiny triangle emits exactly one
-    (pixel, z, id) candidate (or none). Two XLA sorts then produce the
-    dense winner image with no scatter at all (TPU scatters are ~serial,
-    measured 32 ms even for 262k unique writes; sorts are ~12 ms/M):
-
-      1. sort candidates + one background sentinel per pixel by
-         (pixel, z-bits, id) — ascending z-bits = nearest, ascending id
-         ties = the reference's min-id rule;
-      2. mark each pixel group's FIRST entry, re-sort by
-         (winner ? pixel : HW): every pixel has >= 1 entry (the
-         sentinels), so the first H*W entries ARE the image row-major.
-
-    Returns (z (H, W) +inf background, idm (H, W) f32 raw id with
-    _BIG_SLOT background, vals ((A+1), H, W) numerator/denominator plane
-    evaluations — same conventions as the tile kernels, mergeable by
-    straight z/id comparison."""
-    from .gbuffer_pallas import _BIG_SLOT, _BIG_Z
-
-    t_total = tiny.shape[0]
+    """Each tiny triangle's unique pixel-center candidate: pix (T,) i32
+    row-major pixel index (H*W where the candidate misses / is off-screen /
+    fails the edge or depth test) and z (T,) f32 NDC depth (undefined where
+    pix == H*W). Shared by _tiny_images and binning_stats' bin_tiny_cap
+    guard — the budget must count EXACTLY the candidates the sort path
+    emits, so there is one definition of "covered candidate"."""
     hw = height * width
     xmin, xmax = bbox4[0, :-1], bbox4[1, :-1]
     ymin, ymax = bbox4[2, :-1], bbox4[3, :-1]
@@ -202,14 +184,88 @@ def _tiny_images(
         & (z >= -1.0) & (z <= 1.0)
     )
     pix = jnp.where(cov, iy * width + ix, hw)
-    zb = jnp.where(cov, _z_sort_bits(z), _I32_MAX)
+    return pix, z
+
+
+def _tiny_images(
+    rows12: jnp.ndarray,  # (12, T+1) [e0_a, e0_b, e0_g, e1..., e2..., z...]
+    attr_rows,  # ((A+1)*3, T+1) numerator planes + denominator, or None
+    bbox4: jnp.ndarray,  # (4, T+1) xmin, xmax, ymin, ymax
+    tiny: jnp.ndarray,  # (T,) bool — triangles owned by this path
+    height: int,
+    width: int,
+    tile_h: int,
+    tile_w: int,
+    defer: bool = False,
+    cap: int = 0,
+):
+    """Sort-path rasterization of sub-pixel triangles (bin_tiny_px).
+
+    A triangle whose bbox is < 1 px in both axes contains AT MOST ONE
+    pixel center per axis, so each tiny triangle emits exactly one
+    (pixel, z, id) candidate (or none). Two XLA sorts then produce the
+    dense winner image with no scatter at all (TPU scatters are ~serial,
+    measured 32 ms even for 262k unique writes; sorts are ~12 ms/M):
+
+      1. sort candidates + one background sentinel per pixel by
+         (pixel, z-bits, id) — ascending z-bits = nearest, ascending id
+         ties = the reference's min-id rule;
+      2. mark each pixel group's FIRST entry, re-sort by
+         (winner ? pixel : HW): every pixel has >= 1 entry (the
+         sentinels), so the first H*W entries ARE the image row-major.
+
+    Returns (z (H, W) +inf background, idm (H, W) f32 raw id with
+    _BIG_SLOT background, vals ((A+1), H, W) numerator/denominator plane
+    evaluations — same conventions as the tile kernels, mergeable by
+    straight z/id comparison.
+
+    ``cap`` (0 = off, RasterizerConfig.bin_tiny_cap): pre-compact covered
+    candidates with ONE single-operand T-entry sort before the triple
+    sort. At 1M tris / 512^2 only ~10-25% of tiny candidates actually
+    cover their pixel center (sub-pixel coverage probability ~ area), so
+    the two multi-operand sorts carry (T + H*W) mostly-sentinel entries;
+    compaction shrinks them to (cap + H*W). Bit-identical while cap holds
+    every covered candidate (the live triple set is unchanged and all
+    sorts are over unique keys); overflow drops the HIGHEST triangle ids
+    deterministically — binning_stats guards it like every other budget."""
+    from .gbuffer_pallas import _BIG_SLOT, _BIG_Z
+
+    t_total = tiny.shape[0]
+    hw = height * width
+    pix, z = _tiny_candidates(
+        rows12, bbox4, tiny, height, width, tile_h, tile_w
+    )
+    zb = jnp.where(pix < hw, _z_sort_bits(z), _I32_MAX)
     tid = jnp.arange(t_total, dtype=jnp.int32)
+
+    if 0 < cap < t_total:
+        # Pin ONE materialized candidate eval: compaction makes (pix, zb)
+        # feed BOTH the selection key and a gather operand, and XLA may
+        # duplicate the steep-plane eval into each consumer fusion with
+        # different FMA groupings (observed on-chip under lax.scan: ~0.9%
+        # of candidates selected-but-gathered-inconsistently, coverage
+        # drift vs the uncapped path). The barrier forces the selection
+        # and the gathered values to read the same bits.
+        pix, zb = jax.lax.optimization_barrier((pix, zb))
+        ckey = jnp.where(pix < hw, tid, jnp.int32(t_total))
+        (ckey,) = jax.lax.sort((ckey,), num_keys=1, is_stable=False)
+        sid = ckey[:cap]  # ascending covered ids; t_total sentinels behind
+        livec = sid < t_total
+        sid_c = jnp.minimum(sid, t_total - 1)
+        # ONE 2-column row gather (per-row latency floor: one wide gather
+        # beats two 1-column gathers, docs/PERF.md §1).
+        pz = jnp.stack([pix, zb], axis=1)[sid_c]
+        pix_in = jnp.where(livec, pz[:, 0], hw)
+        zb_in = jnp.where(livec, pz[:, 1], _I32_MAX)
+        tid_in = jnp.where(livec, sid_c, _I32_MAX)
+    else:
+        pix_in, zb_in, tid_in = pix, zb, tid
 
     # One sentinel per pixel: guarantees every pixel group is non-empty,
     # so pass 2's first hw entries are dense.
-    pix_all = jnp.concatenate([pix, jnp.arange(hw, dtype=jnp.int32)])
-    zb_all = jnp.concatenate([zb, jnp.full((hw,), _I32_MAX, jnp.int32)])
-    tid_all = jnp.concatenate([tid, jnp.full((hw,), _I32_MAX, jnp.int32)])
+    pix_all = jnp.concatenate([pix_in, jnp.arange(hw, dtype=jnp.int32)])
+    zb_all = jnp.concatenate([zb_in, jnp.full((hw,), _I32_MAX, jnp.int32)])
+    tid_all = jnp.concatenate([tid_in, jnp.full((hw,), _I32_MAX, jnp.int32)])
 
     # UNSTABLE sorts: (pix, zb, tid) triples are unique (tid is unique per
     # candidate; sentinels differ in pix), so all three ride as keys and no
@@ -875,7 +931,7 @@ def _gbuffer_single(
         z_tiny, id_tiny, v_tiny = _tiny_images(
             rows12, attr_rows, bbox4,
             _tiny_mask(setup, config.bin_tiny_px), height, width,
-            tile_h, tile_w,
+            tile_h, tile_w, cap=config.bin_tiny_cap,
         )
         z, tid, vals = _merge_zidvals(z, tid, vals, z_tiny, id_tiny, v_tiny)
 
@@ -1007,7 +1063,7 @@ def _gbuffer_dma_batched(
         tiny_imgs = _tiny_images(
             setup.planes12, attr_rows, setup.bbox4,
             _tiny_mask(setup, config.bin_tiny_px), height, width,
-            tile_h, tile_w, defer=n_attr > 0,
+            tile_h, tile_w, defer=n_attr > 0, cap=config.bin_tiny_cap,
         )
         return chunks, tiny_imgs
 

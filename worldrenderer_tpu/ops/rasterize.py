@@ -178,6 +178,17 @@ class RasterizerConfig(NamedTuple):
     # other budget. Ignored when >= T (two-stage would not shrink the
     # sort).
     bin_small_cap: int = 0
+    # Tiny-path candidate compaction (0 = off): a sub-pixel triangle's
+    # candidate only survives when its pixel center is actually inside it
+    # (probability ~ its area, so at 1M tris / 512^2 only ~10-25% are
+    # covered). Compacting covered candidates with ONE single-operand
+    # T-entry sort shrinks the tiny path's two multi-operand sorts from
+    # (T + H*W) to (cap + H*W) entries. Bit-identical while the cap holds
+    # every covered candidate (overflow drops the highest triangle ids);
+    # auto_fast_config sizes it from measured covered counts and
+    # binning_stats validates it like every other budget. Ignored when
+    # >= T.
+    bin_tiny_cap: int = 0
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -1250,10 +1261,22 @@ def _binning_stats_jit(pos, tri, resolution, config):
         # Potential tiny count at the 1 px exactness bound, regardless of
         # config (lets auto_fast_config decide whether the sort path pays).
         n_tiny = jnp.sum(_tiny_mask(setup, 1.0))
+        n_tiny_cov = jnp.int32(0)
         if config.bin_tiny_px > 0:
             # Tiny triangles produce NO replica keys or per-tile entries
             # (they go through the sort path) — keep the guard in lockstep.
-            on = on & ~_tiny_mask(setup, config.bin_tiny_px)
+            tiny_on = _tiny_mask(setup, config.bin_tiny_px)
+            on = on & ~tiny_on
+            # Covered tiny candidates (the bin_tiny_cap budget target) —
+            # counted with the sort path's OWN candidate eval so the guard
+            # cannot drift from the emission.
+            from .gbuffer import _tiny_candidates
+
+            pix, _ = _tiny_candidates(
+                setup.planes12, setup.bbox4, tiny_on,
+                height, width, tile_h, tile_w,
+            )
+            n_tiny_cov = jnp.sum(pix < height * width)
         n_med = jnp.sum(medium & on)
         n_huge = jnp.sum(huge & on)
         live = jnp.sum(jnp.where(on, span_x * span_y, 0))
@@ -1268,12 +1291,14 @@ def _binning_stats_jit(pos, tri, resolution, config):
         grid = grid.at[ty1 + 1, tx0].add(-one)
         grid = grid.at[ty1 + 1, tx1 + 1].add(one)
         counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:n_ty, :n_tx]
-        return n_huge, n_med, live, counts.max(), n_tiny, n_small
+        return n_huge, n_med, live, counts.max(), n_tiny, n_small, n_tiny_cov
 
-    n_huge, n_med, live, max_tile, n_tiny, n_small = jax.vmap(per_view)(pos)
+    n_huge, n_med, live, max_tile, n_tiny, n_small, n_tiny_cov = (
+        jax.vmap(per_view)(pos)
+    )
     return (
         n_huge.max(), n_med.max(), live.max(), max_tile.max(),
-        jnp.int32(k_cap), n_tiny.max(), n_small.max(),
+        jnp.int32(k_cap), n_tiny.max(), n_small.max(), n_tiny_cov.max(),
     )
 
 
@@ -1375,10 +1400,22 @@ def auto_fast_config(
             pow2_at_least(need_s, 4096) if need_s <= 65536
             else -(-need_s // 8192) * 8192
         )
+    tiny_cap = base.bin_tiny_cap
+    if base.bin_tiny_px > 0:
+        # Only ~area-fraction of sub-pixel candidates cover their pixel
+        # center; compacting them (bin_tiny_cap) shrinks the tiny path's
+        # two multi-operand sorts from (T + H*W) to (cap + H*W) entries.
+        # Same sizing rule as the other caps.
+        worst_cov = max(st["n_tiny_cov"] for st in stats_list)
+        need_t = int(headroom * worst_cov)
+        tiny_cap = (
+            pow2_at_least(need_t, 4096) if need_t <= 65536
+            else -(-need_t // 8192) * 8192
+        )
     cfg = base._replace(
         bin_med=med, bin_huge=huge, max_tris_per_tile=k_cap,
         bin_flat_cap_factor=cap_factor, bin_flat_cap_abs=cap_abs,
-        bin_small_cap=small_cap,
+        bin_small_cap=small_cap, bin_tiny_cap=tiny_cap,
     )
     for p_i, t_i, r_i in probes:
         final = binning_stats(p_i, t_i, r_i, cfg)
@@ -1395,9 +1432,11 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
     Returns a dict with the worst-case-over-views numbers and their
     configured capacities; ``ok`` is True iff every budget holds, i.e. the
     flat binning is guaranteed lossless for this scene/config."""
-    n_huge, n_med, live, max_tile, k_cap, n_tiny, n_small = _binning_stats_jit(
-        jnp.asarray(pos, jnp.float32), jnp.asarray(tri, jnp.int32),
-        tuple(resolution), config,
+    (n_huge, n_med, live, max_tile, k_cap, n_tiny, n_small, n_tiny_cov) = (
+        _binning_stats_jit(
+            jnp.asarray(pos, jnp.float32), jnp.asarray(tri, jnp.int32),
+            tuple(resolution), config,
+        )
     )
     t_total = int(tri.shape[0])
     flat_cap = (
@@ -1422,8 +1461,15 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
         # Live small-tier triangles (the bin_small_cap budget target).
         "n_small_tris": int(n_small),
         "small_cap_budget": int(config.bin_small_cap),
+        # Covered tiny candidates (the bin_tiny_cap budget target; 0 when
+        # bin_tiny_px is off).
+        "n_tiny_cov": int(n_tiny_cov),
+        "tiny_cap_budget": int(config.bin_tiny_cap),
     }
     small_cap_on = 0 < config.bin_small_cap < t_total
+    tiny_cap_on = (
+        config.bin_tiny_px > 0 and 0 < config.bin_tiny_cap < t_total
+    )
     stats["ok"] = (
         stats["n_huge"] <= stats["huge_budget"]
         and stats["n_med"] <= stats["med_budget"]
@@ -1432,6 +1478,10 @@ def binning_stats(pos, tri, resolution, config=DEFAULT_CONFIG):
         and (
             not small_cap_on
             or stats["n_small_tris"] <= stats["small_cap_budget"]
+        )
+        and (
+            not tiny_cap_on
+            or stats["n_tiny_cov"] <= stats["tiny_cap_budget"]
         )
     )
     return stats
