@@ -449,3 +449,44 @@ def test_render_view_chunk_matches_whole_batch():
     )
     with pytest.raises(ValueError, match="divide"):
         render(mesh, cam, H, W, render_attr=True, view_chunk=3)
+
+
+def test_no_large_baked_constants_in_padded_programs():
+    """The plane-coefficient pad blocks must not constant-fold into big
+    baked literals: ``zeros((n_tiles, ...)).at[].set(BIG_NEG)`` lowers to
+    a scatter that XLA's constant folder materializes wholesale (37 MB of
+    HLO constant at 4096²-atlas tile counts), inflating remote-compile
+    requests and folding time. ops/tensor.py:edge0_pad_block broadcasts a
+    bytes-sized template instead; this pins the property on a compiled
+    atlas-raster program (uv_precompute exercises the padded
+    raster_zid_tiles_pallas path at a real tile count)."""
+    import re
+
+    import jax
+
+    from worldrenderer_tpu.baking.uv import uv_precompute
+    from worldrenderer_tpu.mesh import uv_sphere_mesh
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+        v_tex=jnp.asarray(uv, jnp.float32),
+        t_tex_idx=jnp.asarray(faces, jnp.int32),
+    )
+    comp = (
+        jax.jit(
+            lambda m: uv_precompute(m, height=512, width=512).uv_mask
+        )
+        .lower(mesh)
+        .compile()
+    )
+    txt = comp.runtime_executable().hlo_modules()[0].to_string()
+    worst = 0
+    for m in re.finditer(r"constant[.\d]*\s*=\s*\w+\[([\d,]*)\]", txt):
+        n = 1
+        for d in m.group(1).split(","):
+            if d:
+                n *= int(d)
+        worst = max(worst, n)
+    assert worst < (1 << 16), f"large baked constant: {worst} elements"

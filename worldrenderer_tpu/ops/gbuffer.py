@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .tensor import edge0_pad_block
 from .rasterize import (
     DEFAULT_CONFIG,
     RasterizerConfig,
@@ -437,8 +438,9 @@ def _gather_tile_rows_flat(
     ep = jnp.concatenate([ep[..., :2], gamma[..., None]], axis=-1)
     flat_coeffs = ep.transpose(2, 1, 0)  # (3, R, L)
     # Pad the lane dim by k_cap so per-tile slices never clamp-shift.
-    pad_block = jnp.zeros((3, r, k_cap), flat_coeffs.dtype)
-    pad_block = pad_block.at[2, 0, :].set(_BIG_NEG)
+    # (edge0_pad_block, not zeros().at[].set(): the scatter form constant-
+    # folds into a baked k_cap-sized literal — see ops/tensor.py.)
+    pad_block = edge0_pad_block(r, k_cap, flat_coeffs.dtype, _BIG_NEG)
     flat_coeffs = jnp.concatenate([flat_coeffs, pad_block], axis=2)
 
     def tile_block(start):
@@ -745,8 +747,7 @@ def _zattr_tile_xla(
 
     pad = n_chunks * c - k
     if pad:
-        pad_block = jnp.zeros((3, r, pad), coeffs.dtype)
-        pad_block = pad_block.at[2, 0, :].set(_BIG_NEG)
+        pad_block = edge0_pad_block(r, pad, coeffs.dtype, _BIG_NEG)
         coeffs = jnp.concatenate([coeffs.reshape(3, r, k), pad_block], axis=2)
     else:
         coeffs = coeffs.reshape(3, r, k)

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tensor import edge0_pad_block
+
 __all__ = ["zattr_tiles_pallas", "zattr_tiles_vpu", "gbuffer_tiles_dma"]
 
 _BIG_Z = 3.0e38
@@ -219,8 +221,13 @@ def zattr_tiles_vpu(
     c = max(128, (chunk // 128) * 128)
     pad = (-k) % c
     if pad:
-        pad_block = jnp.zeros((n_tiles, 3, r, pad), coeffs.dtype)
-        pad_block = pad_block.at[:, 2, 0, :].set(_BIG_NEG)
+        # Broadcast a bytes-sized template: the zeros().at[].set scatter
+        # form constant-folds into an (n_tiles, 3, r, pad) baked literal
+        # (see ops/tensor.py:edge0_pad_block).
+        pad_block = jnp.broadcast_to(
+            edge0_pad_block(r, pad, coeffs.dtype, _BIG_NEG)[None],
+            (n_tiles, 3, r, pad),
+        )
         coeffs = jnp.concatenate(
             [coeffs.reshape(n_tiles, 3, r, k), pad_block], axis=3
         ).reshape(n_tiles, 3, r * (k + pad))
@@ -297,8 +304,13 @@ def zattr_tiles_pallas(
     c = max(128, (chunk // 128) * 128)
     pad = (-k) % c
     if pad:
-        pad_block = jnp.zeros((n_tiles, 3, r, pad), coeffs.dtype)
-        pad_block = pad_block.at[:, 2, 0, :].set(_BIG_NEG)
+        # Broadcast a bytes-sized template: the zeros().at[].set scatter
+        # form constant-folds into an (n_tiles, 3, r, pad) baked literal
+        # (see ops/tensor.py:edge0_pad_block).
+        pad_block = jnp.broadcast_to(
+            edge0_pad_block(r, pad, coeffs.dtype, _BIG_NEG)[None],
+            (n_tiles, 3, r, pad),
+        )
         coeffs = jnp.concatenate(
             [coeffs.reshape(n_tiles, 3, r, k), pad_block], axis=3
         ).reshape(n_tiles, 3, r * (k + pad))

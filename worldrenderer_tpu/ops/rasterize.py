@@ -63,6 +63,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from .tensor import edge0_pad_block
 
 __all__ = [
     "rasterize", "rasterize_db", "rasterize_diff", "RasterizerConfig",
@@ -981,8 +982,7 @@ def _raster_zid_tile(
     pad = n_chunks * c - k
     kp = k + pad
     if pad:
-        pad_block = jnp.zeros((3, 4, pad), coeffs.dtype)
-        pad_block = pad_block.at[2, 0, :].set(_BIG_NEG)
+        pad_block = edge0_pad_block(4, pad, coeffs.dtype, _BIG_NEG)
         coeffs = jnp.concatenate([coeffs.reshape(3, 4, k), pad_block], axis=2)
         ids = jnp.pad(ids, (0, pad), constant_values=0)
     else:

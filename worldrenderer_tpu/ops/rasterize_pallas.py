@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tensor import edge0_pad_block
+
 __all__ = ["raster_zid_tiles_pallas"]
 
 _BIG_Z = 3.0e38
@@ -107,9 +109,14 @@ def raster_zid_tiles_pallas(
     c = max(128, (chunk // 128) * 128)
     pad = (-k) % c
     if pad:
-        # Padded slots: edge-0 constant -BIG -> never covered.
-        pad_block = jnp.zeros((n_tiles, 3, 4, pad), coeffs.dtype)
-        pad_block = pad_block.at[:, 2, 0, :].set(-_BIG_Z)
+        # Padded slots: edge-0 constant -BIG -> never covered. Broadcast a
+        # bytes-sized template instead of scattering into a (n_tiles, ...)
+        # zeros constant — XLA's scatter folder bakes the scatter form into
+        # a 37 MB literal at 4096²-atlas tile counts (ops/tensor.py).
+        pad_block = jnp.broadcast_to(
+            edge0_pad_block(4, pad, coeffs.dtype, -_BIG_Z)[None],
+            (n_tiles, 3, 4, pad),
+        )
         coeffs = jnp.concatenate(
             [coeffs.reshape(n_tiles, 3, 4, k), pad_block], axis=3
         ).reshape(n_tiles, 3, 4 * (k + pad))

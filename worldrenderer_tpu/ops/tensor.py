@@ -34,6 +34,7 @@ __all__ = [
     "c2w_to_polar",
     "polar_to_c2w",
     "fourier_position_encoding",
+    "edge0_pad_block",
 ]
 
 
@@ -302,3 +303,22 @@ def fourier_position_encoding(x: jnp.ndarray, n_freq: int, dim: int) -> jnp.ndar
         input_shape[:dim] + (-1,) + input_shape[dim + 1 :]
     )
     return jnp.concatenate([sin, cos], axis=dim)
+
+
+def edge0_pad_block(r: int, pad: int, dtype, neg: float) -> jnp.ndarray:
+    """A ``(3, r, pad)`` plane-coefficient padding block whose edge-0
+    constant row (``[2, 0, :]``) is ``neg`` (so padded rasterizer slots are
+    never covered) — built WITHOUT an ``.at[].set`` on the full-size zeros.
+
+    The obvious ``zeros((..., pad)).at[..., 2, 0, :].set(neg)`` lowers to a
+    scatter on a constant, and XLA's scatter constant-folder materializes
+    the WHOLE block as a baked literal — 37 MB of HLO constant at UV-atlas
+    tile counts (``(8192, 3, 4, 94)`` at a 4096² atlas), which inflates
+    remote-compile requests and folding time. A small ``(3, r)`` fold +
+    runtime ``broadcast_to`` stays bytes-sized: XLA's constant folder skips
+    broadcasts. Callers needing a leading tile dim broadcast again —
+    ``jnp.broadcast_to(block[None], (n_tiles, 3, r, pad))`` — which is
+    equally fold-proof.
+    """
+    col = jnp.zeros((3, r), dtype).at[2, 0].set(neg)  # tiny (3, r) fold
+    return jnp.broadcast_to(col[:, :, None], (3, r, pad))
