@@ -15,11 +15,17 @@ Usage: python tools/compile_probe_bake.py [--sizes 1024,2048,4096] \
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# --backend tpu: leave the platform alone (axon sitecustomize sets it);
+# default cpu keeps the sweep off the chip.
+if "--backend" not in " ".join(sys.argv) or "--backend=cpu" in sys.argv or (
+    "--backend" in sys.argv and sys.argv[sys.argv.index("--backend") + 1] == "cpu"
+):
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -85,19 +91,46 @@ def main():
     ap.add_argument("--chunks", type=int, default=8)
     ap.add_argument("--views", type=int, default=6)
     ap.add_argument("--stage", default="all")
+    ap.add_argument("--backend", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--scene", default="grid", choices=["grid", "bench"])
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
-    mesh = make_scene()
-    nv, h, w = args.views, 512, 512
-    cam = get_camera(
-        elevation_deg=30.0, num_views=nv, distance=2.0, fovy_deg=40.0
-    )
-    images = jnp.zeros((nv, h, w, 3), jnp.float32)
-    from worldrenderer_tpu.transforms import get_clip_space_position
+    if args.scene == "bench":
+        # EXACTLY bench_bake4k's scene + config (uv sphere, 768^2 views,
+        # auto config sized for BOTH the uv_size^2 atlas raster and the
+        # view renders) — the generic 512^2 cfg under-budgets the 4096^2
+        # atlas pass and OOMs the uv_precompute compile on a v5e.
+        import sys as _sys
+        _sys.path.insert(0, "/root/repo")
+        from bench import _projection_auto_cfg
+        from worldrenderer_tpu.mesh import uv_sphere_mesh
 
-    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
-    cfg = auto_fast_config(pos_clip, mesh.t_pos_idx, (h, w))
+        nv, h, w = args.views, 768, 768
+        verts, faces, uv = uv_sphere_mesh(65, 129)
+        mesh = TexturedMesh(
+            v_pos=jnp.asarray(verts, jnp.float32),
+            t_pos_idx=jnp.asarray(faces, jnp.int32),
+            v_tex=jnp.asarray(uv, jnp.float32),
+            t_tex_idx=jnp.asarray(faces, jnp.int32),
+        )
+        cam = get_camera(
+            elevation_deg=20.0, distance=2.7, fovy_deg=40.0, num_views=nv,
+            near=0.1, far=10.0,
+        )
+        images = jnp.zeros((nv, h, w, 3), jnp.float32)
+        cfg = _projection_auto_cfg(mesh, cam, h, int(args.sizes.split(",")[0]))
+    else:
+        mesh = make_scene()
+        nv, h, w = args.views, 512, 512
+        cam = get_camera(
+            elevation_deg=30.0, num_views=nv, distance=2.0, fovy_deg=40.0
+        )
+        images = jnp.zeros((nv, h, w, 3), jnp.float32)
+        from worldrenderer_tpu.transforms import get_clip_space_position
+
+        pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+        cfg = auto_fast_config(pos_clip, mesh.t_pos_idx, (h, w))
 
     validity = SimpleUVValidityStrategy()
     weights = ExponentialBlend()

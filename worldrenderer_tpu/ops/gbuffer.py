@@ -127,6 +127,25 @@ def _attr_planes_t(
 _I32_MAX = np.int32(2**31 - 1)
 
 
+def _rows_to_records(rows: jnp.ndarray) -> jnp.ndarray:
+    """(R, N) coef-major row vectors -> (N, R) row-major gather table.
+
+    Expressed as a stack-of-columns instead of ``rows.T``: XLA lowers the
+    big transpose to paired 'wide.body' while loops (~18 GB/s through a
+    flat buffer; isolated on-chip probe tools/probe_transpose.py: stack
+    29.5 vs transpose 37.9 ms on a (6, 24, 1M) table). IN CONTEXT the
+    full raw-1M render measured NEUTRAL (tools/ab_recstack.py: 3
+    interleaved pairs, median ratio 1.002, bit-identical) — the loop
+    transpose overlaps with other work, the usual stage-isolation trap
+    (CLAUDE.md profiling gotchas). Kept as the never-worse form. Must
+    stay bit-moving (no dot-with-identity transpose: the tiny path's zb
+    column is bitcast int32 whose NaN patterns would poison MXU output
+    columns via 0 * NaN).
+    """
+    r = rows.shape[0]
+    return jnp.stack([rows[i] for i in range(r)], axis=-1)
+
+
 def _z_sort_bits(z: jnp.ndarray) -> jnp.ndarray:
     """Order-preserving f32 -> i32 mapping (signed compare). Involution:
     applying it twice restores the original bits."""
@@ -318,7 +337,9 @@ def _tiny_images(
         jnp.concatenate([zb, jnp.full((1,), _I32_MAX, jnp.int32)]),
         jnp.float32,
     )[None]  # (1, T+1)
-    table = jnp.concatenate([attr_rows, zrow], axis=0).T  # (T+1, m+1)
+    table = _rows_to_records(
+        jnp.concatenate([attr_rows, zrow], axis=0)
+    )  # (T+1, m+1)
     if defer:
         # Batched callers hoist the per-pixel winner-record gather out of
         # their view vmap: a batched (V, T+1, m+1) gather operand gets a
@@ -613,13 +634,13 @@ def _flat_chunks(
         # the row dim recovers the row-major layout (on-chip probe:
         # 24.6 -> 18.3 ns/row at 24 cols; column-splitting LOSES, 23.4).
         return (
-            record_t.T,  # (T+1, R) per view -> (V*(T+1), R) outside
+            _rows_to_records(record_t),  # (T+1, R); (V*(T+1), R) outside
             flat_ids,
             chunk_tile,
             start_chunks.astype(jnp.int32),
             (aligned // c).astype(jnp.int32),
         )
-    rec_t = record_t.T[flat_ids].T  # gather rows, one small + one big transpose
+    rec_t = _rows_to_records(record_t)[flat_ids].T  # gather rows
     planes_flat, sel_flat = _flat_chunks_finish(
         rec_t, flat_ids, chunk_tile, n_tx, tile_w, tile_h, c
     )
