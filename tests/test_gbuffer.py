@@ -292,6 +292,66 @@ def test_chunk_slice_modes_bit_identical():
     np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))
 
 
+@pytest.mark.parametrize("prec", ["highest", "split_bf16"])
+@pytest.mark.parametrize("sub", [2, 4])
+def test_bin_subtile_bit_identical(prec, sub):
+    """bin_subtile=s (band-granular binning, in-kernel banded eval) must be
+    BIT-identical to the classic full-tile eval in every precision mode:
+    the rebase stays at the tile origin and each band evaluates with its
+    true tile-local ly, so every pixel sees the same float expressions over
+    the same candidate set in the same tie order. 152 rows exercises the
+    padded band grid (height not a multiple of tile_h)."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import (
+        FAST_TPU_CONFIG, auto_fast_config, binning_stats,
+    )
+
+    verts, faces = make_grid_mesh(72)  # 10082 tris, above sort_pairs min
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=35.0, distance=2.2, fovy_deg=50.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    v_nrm = jnp.ones((v_pos.shape[0], 3), jnp.float32)
+    res = (152, 160)
+    base = FAST_TPU_CONFIG._replace(dot_precision=prec)
+    # Budgets must be lossless for BOTH grids or the candidate sets differ
+    # by dropped triangles; auto_fast_config validates via the band-aware
+    # binning_stats.
+    cfg1 = auto_fast_config(pos_clip, tri, res, base=base)
+    cfgs = auto_fast_config(
+        pos_clip, tri, res, base=base._replace(bin_subtile=sub)
+    )
+    assert binning_stats(pos_clip, tri, res, cfgs)["ok"]
+    a = rasterize_gbuffer(pos_clip, tri, v_nrm, res, cfg1)
+    b = rasterize_gbuffer(pos_clip, tri, v_nrm, res, cfgs)
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.tri_id), np.asarray(b.tri_id))
+    np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+    np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))
+
+
+def test_bin_subtile_validates():
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+
+    verts, faces = make_grid_mesh(72)  # above bin_sort_pairs_min_tris
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=10.0, distance=3.0, fovy_deg=45.0, num_views=1,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    with pytest.raises(ValueError, match="bin_subtile"):
+        rasterize_gbuffer(
+            pos_clip, tri, None, (64, 128),
+            FAST_TPU_CONFIG._replace(bin_subtile=3),  # does not divide 16
+        )
+
+
 def _split_uv_grid(n=16):
     """Grid mesh with a genuine UV seam: the middle vertex column is
     duplicated in UV space (right-half faces index a shifted copy), so

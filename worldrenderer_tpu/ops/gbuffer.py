@@ -540,6 +540,7 @@ def _flat_chunks(
     a3=None,
     chunk_slice_mode: str = "dynamic",
     defer: bool = False,
+    sub: int = 1,
 ):
     """Build the 128-aligned chunked flat coefficient lists consumed by the
     DMA kernel (gbuffer_pallas.gbuffer_tiles_dma).
@@ -642,7 +643,7 @@ def _flat_chunks(
         )
     rec_t = _rows_to_records(record_t)[flat_ids].T  # gather rows
     planes_flat, sel_flat = _flat_chunks_finish(
-        rec_t, flat_ids, chunk_tile, n_tx, tile_w, tile_h, c
+        rec_t, flat_ids, chunk_tile, n_tx, tile_w, tile_h, c, sub=sub
     )
     return (
         planes_flat,
@@ -660,9 +661,16 @@ def _flat_chunks_finish(
     tile_w: int,
     tile_h: int,
     c: int,
+    sub: int = 1,
 ):
     """Post-gather half of :func:`_flat_chunks`: tile-origin rebase + the
-    chunk-contiguous [planes | select-rows] re-layout the DMA kernel reads."""
+    chunk-contiguous [planes | select-rows] re-layout the DMA kernel reads.
+
+    ``sub`` > 1 (RasterizerConfig.bin_subtile): ``chunk_tile`` indexes
+    band-granular bins and ``tile_h`` holds the BAND height, but the rebase
+    must stay at the OUTPUT-TILE origin (band-origin rebasing would change
+    the per-pixel float expressions and break bit-identity with sub == 1;
+    the kernel offsets each band's local ly by h * band_h instead)."""
     nv = (rec_t.shape[0] - 12) // 3
     l_cap = flat_ids.shape[0]
     nch_total = l_cap // c
@@ -682,8 +690,12 @@ def _flat_chunks_finish(
         ((chunk_tile % n_tx) * tile_w).astype(jnp.float32)[:, None],
         (nch_total, c),
     ).reshape(1, l_cap)
+    oy_rows = (
+        (chunk_tile // n_tx) // sub * (tile_h * sub) if sub > 1
+        else (chunk_tile // n_tx) * tile_h
+    )
     oy = jnp.broadcast_to(
-        ((chunk_tile // n_tx) * tile_h).astype(jnp.float32)[:, None],
+        oy_rows.astype(jnp.float32)[:, None],
         (nch_total, c),
     ).reshape(1, l_cap)
     pg = pgm + pa * ox + pb * oy  # (4, l_cap) rebased constants
@@ -998,14 +1010,28 @@ def _gbuffer_dma_batched(
         n_attr = 0 if v_attr is None else v_attr.shape[-1]
     nv = n_attr + 1 if n_attr > 0 else 1
 
+    # Sub-tile row banding (RasterizerConfig.bin_subtile): bin at
+    # band_h = tile_h/sub row granularity so each chunk's entries evaluate
+    # against only its band's pixels in the kernel. The bin grid must
+    # exactly tile the PADDED output grid (every output tile owns `sub`
+    # bins), so the band binning sees height = ph.
+    sub = config.bin_subtile
+    if sub < 1 or tile_h % sub:
+        raise ValueError(
+            f"bin_subtile ({sub}) must be >= 1 and divide tile_h ({tile_h})"
+        )
+    band_h = tile_h // sub
+    bin_height = ph if sub > 1 else height
+    n_bins = n_tiles * sub
+
     c = max(128, (config.chunk // 128) * 128)
     k_cap = min(
-        config.max_tris_per_tile or _auto_cap(t_total, n_tiles), t_total
+        config.max_tris_per_tile or _auto_cap(t_total, n_bins), t_total
     )
     cap_factor = config.bin_flat_cap_factor
     span = config.bin_span_tiles_y * config.bin_span_tiles_x
     l_keys = t_total * span + (
-        min(config.bin_huge, t_total) * n_tiles if config.bin_huge > 0 else 0
+        min(config.bin_huge, t_total) * n_bins if config.bin_huge > 0 else 0
     )
     if config.bin_med > 0:
         l_keys += (
@@ -1017,7 +1043,7 @@ def _gbuffer_dma_batched(
     if config.bin_flat_cap_abs > 0:
         l_keys = min(l_keys, config.bin_flat_cap_abs)
     # Upper bound on the sum of c-aligned (capped) segment lengths.
-    l_cap = min(l_keys + n_tiles * (c - 1), n_tiles * (-(-k_cap // c) * c))
+    l_cap = min(l_keys + n_bins * (c - 1), n_bins * (-(-k_cap // c) * c))
     l_cap = -(-l_cap // c) * c
 
     # Hoist the triangle-corner gathers out of the view vmap: the indices
@@ -1062,7 +1088,7 @@ def _gbuffer_dma_batched(
     def prep(pos_clip, v4):
         setup = _triangle_setup_t(pos_clip, tri, width, height, v4=v4)
         flat = _bin_flat(
-            setup, width, height, tile_h, tile_w,
+            setup, width, bin_height, band_h, tile_w,
             config.bin_span_tiles_y, config.bin_span_tiles_x,
             config.bin_huge, cap_factor,
             n_med=config.bin_med, med_span_y=config.bin_med_span_y,
@@ -1072,7 +1098,7 @@ def _gbuffer_dma_batched(
             small_cap=config.bin_small_cap,
         )
         chunks = _flat_chunks(
-            setup, tri, v_attr, flat, k_cap, n_tx, tile_w, tile_h, c, l_cap,
+            setup, tri, v_attr, flat, k_cap, n_tx, tile_w, band_h, c, l_cap,
             a3=a3, chunk_slice_mode=config.chunk_slice_mode, defer=True,
         )
         if not tiny_on:
@@ -1104,7 +1130,8 @@ def _gbuffer_dma_batched(
     rec_t_b = rec.reshape(bsz, l_cap, r_cols).transpose(0, 2, 1)
     planes_flat, sel_flat = jax.vmap(
         functools.partial(
-            _flat_chunks_finish, n_tx=n_tx, tile_w=tile_w, tile_h=tile_h, c=c
+            _flat_chunks_finish, n_tx=n_tx, tile_w=tile_w, tile_h=band_h,
+            c=c, sub=sub,
         )
     )(rec_t_b, flat_ids, chunk_tile)
 
@@ -1155,7 +1182,7 @@ def _gbuffer_dma_batched(
     z, idm, vals = gbuffer_tiles_dma(
         planes_flat, sel_flat, start_chunks, n_chunks,
         nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],
-        config.kernel_unroll, config.winner_mode,
+        config.kernel_unroll, config.winner_mode, sub,
     )
     z = z[:, :height, :width]
     idm = idm[:, :height, :width]
@@ -1191,10 +1218,13 @@ def _gbuffer_core(
     tile_h, tile_w = config.tile_h, config.tile_w
     n_tiles = (-(-height // tile_h)) * (-(-width // tile_w))
     t_total = tri.shape[0]
+    # Sort keys are bin * T + tri; band binning (bin_subtile) multiplies
+    # the bin count, so the int32 key-space guard must use the BIN grid.
+    n_bins = n_tiles * max(config.bin_subtile, 1)
     use_flat = (
         config.bin_mode == "sort_pairs"
         and t_total >= config.bin_sort_pairs_min_tris
-        and (n_tiles + 1) * t_total < 2**31
+        and (n_bins + 1) * t_total < 2**31
     )
     if config.backend == "fused_pallas" and use_flat:
         return _gbuffer_dma_batched(

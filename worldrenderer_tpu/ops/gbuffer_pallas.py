@@ -396,6 +396,8 @@ def _kernel_dma(
     unroll=1,
     winner_mode="dot",
     sel_packed=False,
+    sub=1,
+    n_tx=1,
 ):
     """Fused z/id/attr pass, v2: manual double-buffered DMA of the tile's
     flat 128-aligned coefficient segment + winner-select matmul.
@@ -419,9 +421,9 @@ def _kernel_dma(
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    base = start_ref[b, i]
-    nch = nch_ref[b, i]
     p = tile_h * tile_w
+    band_h = tile_h // sub
+    p_eval = band_h * tile_w  # pixels per eval pass (== p when sub == 1)
     n_slots = pbuf.shape[0]
 
     flat = jax.lax.broadcasted_iota(jnp.int32, (4, p), 1)
@@ -431,7 +433,7 @@ def _kernel_dma(
     b_mat = jnp.where(
         rowid == 0, lxf,
         jnp.where(rowid == 1, lyf, jnp.where(rowid == 2, 1.0, 0.0)),
-    )
+    )  # full-tile B; sub > 1 builds per-band B matrices below
     lx = lxf[0:1]  # (1, P)
     ly = lyf[0:1]
     if winner_mode == "dot":
@@ -442,19 +444,19 @@ def _kernel_dma(
 
     def pdma(slot, ci):
         return pltpu.make_async_copy(
-            planes_hbm.at[b, :, pl.ds((base + ci) * (4 * c), 4 * c)],
+            planes_hbm.at[b, :, pl.ds(ci * (4 * c), 4 * c)],
             pbuf.at[slot],
             psem.at[slot],
         )
 
     def sdma(slot, ci):
         return pltpu.make_async_copy(
-            sel_hbm.at[b, :, pl.ds((base + ci) * c, c)],
+            sel_hbm.at[b, :, pl.ds(ci * c, c)],
             sbuf.at[slot],
             ssem.at[slot],
         )
 
-    def eval_chunk(slot):
+    def eval_chunk(slot, b_mat=b_mat, p=p):
         """One chunk's (zmin, sel): coverage eval + unique-winner select."""
         a_t = pbuf[slot]  # (4, 4c); zero 4th coef row pairs with b_mat row 3
         if dot_precision == "split_bf16":
@@ -568,20 +570,112 @@ def _kernel_dma(
         jnp.zeros((m_sel - 2, p), jnp.float32),
     )
 
-    if unroll == 2:
+    if sub > 1:
+        # Sub-tile row banding (RasterizerConfig.bin_subtile): the tile's
+        # `sub` bands were binned separately at band_h-row granularity, so
+        # each chunk's entries evaluate against only p_eval = P/sub pixels
+        # — the coverage + select MXU pass count per entry divides by sub.
+        # All bands stream through ONE continuous double-buffered DMA
+        # pipeline (per-tile fixed costs — grid steps, output writes, DMA
+        # warmup — do NOT multiply, unlike shrinking tile_h itself, which
+        # measured -15%). Bit-identity with sub == 1: the prep rebases
+        # constants to the TILE origin and band h evaluates with its true
+        # tile-local ly (offset h * band_h), so every pixel sees the same
+        # float expressions over the same candidate set in the same order
+        # (within a band, segments ascend by triangle id; bands never
+        # share pixels).
+        binbase = (i // n_tx) * (sub * n_tx) + (i % n_tx)
+        bases = [start_ref[b, binbase + h * n_tx] for h in range(sub)]
+        nchs = [nch_ref[b, binbase + h * n_tx] for h in range(sub)]
+        cum = [jnp.int32(0)]
+        for h in range(sub):
+            cum.append(cum[-1] + nchs[h])
+        total = cum[-1]
+
+        def chunk_abs(ci):
+            """Absolute HBM chunk index for loop counter ci."""
+            idx = bases[sub - 1] + (ci - cum[sub - 1])
+            for h in reversed(range(sub - 1)):
+                idx = jnp.where(ci < cum[h + 1], bases[h] + (ci - cum[h]), idx)
+            return idx
+
+        def band_of(ci):
+            hh = jnp.int32(sub - 1)
+            for h in reversed(range(sub - 1)):
+                hh = jnp.where(ci < cum[h + 1], jnp.int32(h), hh)
+            return hh
+
+        flat_b = jax.lax.broadcasted_iota(jnp.int32, (4, p_eval), 1)
+        rowid_b = jax.lax.broadcasted_iota(jnp.int32, (4, p_eval), 0)
+        lxb = (flat_b % tile_w).astype(jnp.float32) + 0.5
+        lyb0 = (flat_b // tile_w).astype(jnp.float32) + 0.5
+        lane_band = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) // p_eval
+        )  # (1, P): which band each output lane belongs to
+
+        def merge_band(carry, zmin, sel, hb):
+            zbuf, idbuf, selbuf = carry
+            bmask = lane_band == hb  # (1, P)
+            zt = jnp.concatenate([zmin] * sub, axis=1)  # (1, P)
+            upd = bmask & (zt < zbuf)
+            zbuf = jnp.where(upd, zt, zbuf)
+            idt = jnp.concatenate(
+                [sel[0:1] * 256.0 + sel[1:2]] * sub, axis=1
+            )
+            idbuf = jnp.where(upd, idt, idbuf)
+            st = jnp.concatenate([sel[2:m_sel]] * sub, axis=1)
+            selbuf = jnp.where(upd, st, selbuf)
+            return zbuf, idbuf, selbuf
+
+        @pl.when(total > 0)
+        def _():
+            ac0 = chunk_abs(0)
+            pdma(0, ac0).start()
+            sdma(0, ac0).start()
+
+        def body(ci, carry):
+            slot = jax.lax.rem(ci, 2)
+
+            @pl.when(ci + 1 < total)
+            def _():
+                ac1 = chunk_abs(ci + 1)
+                pdma(1 - slot, ac1).start()
+                sdma(1 - slot, ac1).start()
+
+            ac = chunk_abs(ci)
+            pdma(slot, ac).wait()
+            sdma(slot, ac).wait()
+            hb = band_of(ci)
+            # Band-local B matrix: true tile-local ly = band row + h*band_h
+            # (same half-integer values as the full-tile eval -> identical
+            # float products; bf16-exact under split_bf16 since ly < 256).
+            lyb = lyb0 + hb.astype(jnp.float32) * jnp.float32(band_h)
+            bm = jnp.where(
+                rowid_b == 0, lxb,
+                jnp.where(rowid_b == 1, lyb,
+                          jnp.where(rowid_b == 2, 1.0, 0.0)),
+            )
+            zmin, sel = eval_chunk(slot, b_mat=bm, p=p_eval)
+            return merge_band(carry, zmin, sel, hb)
+
+        zbuf, idbuf, selbuf = jax.lax.fori_loop(0, total, body, init)
+    elif unroll == 2:
+        base = start_ref[b, i]
+        nch = nch_ref[b, i]
+
         # Two-chunk manual unroll (4 DMA slots): the pair's compare/reduce
         # chains are fully independent until the final merge, giving the
         # scheduler a basic block with 2x the ILP; loop and DMA bookkeeping
         # halve. The odd tail runs through a trailing 0/1-trip loop.
         @pl.when(nch > 0)
         def _():
-            pdma(0, 0).start()
-            sdma(0, 0).start()
+            pdma(0, base).start()
+            sdma(0, base).start()
 
         @pl.when(nch > 1)
         def _():
-            pdma(1, 1).start()
-            sdma(1, 1).start()
+            pdma(1, base + 1).start()
+            sdma(1, base + 1).start()
 
         def pair_body(pi, carry):
             ci = pi * 2
@@ -591,19 +685,19 @@ def _kernel_dma(
             @pl.when(ci + 2 < nch)
             def _():
                 s2 = jax.lax.rem(ci + 2, n_slots)
-                pdma(s2, ci + 2).start()
-                sdma(s2, ci + 2).start()
+                pdma(s2, base + ci + 2).start()
+                sdma(s2, base + ci + 2).start()
 
             @pl.when(ci + 3 < nch)
             def _():
                 s3 = jax.lax.rem(ci + 3, n_slots)
-                pdma(s3, ci + 3).start()
-                sdma(s3, ci + 3).start()
+                pdma(s3, base + ci + 3).start()
+                sdma(s3, base + ci + 3).start()
 
-            pdma(sa, ci).wait()
-            sdma(sa, ci).wait()
-            pdma(sb, ci + 1).wait()
-            sdma(sb, ci + 1).wait()
+            pdma(sa, base + ci).wait()
+            sdma(sa, base + ci).wait()
+            pdma(sb, base + ci + 1).wait()
+            sdma(sb, base + ci + 1).wait()
 
             za, sela = eval_chunk(sa)
             zb, selb = eval_chunk(sb)
@@ -618,8 +712,8 @@ def _kernel_dma(
 
         def tail_body(ci, carry):
             slot = jax.lax.rem(ci, n_slots)
-            pdma(slot, ci).wait()
-            sdma(slot, ci).wait()
+            pdma(slot, base + ci).wait()
+            sdma(slot, base + ci).wait()
             z1, s1 = eval_chunk(slot)
             return merge(carry, z1, s1)
 
@@ -627,21 +721,24 @@ def _kernel_dma(
             (nch // 2) * 2, nch, tail_body, carry
         )
     else:
+        base = start_ref[b, i]
+        nch = nch_ref[b, i]
+
         @pl.when(nch > 0)
         def _():
-            pdma(0, 0).start()
-            sdma(0, 0).start()
+            pdma(0, base).start()
+            sdma(0, base).start()
 
         def body(ci, carry):
             slot = jax.lax.rem(ci, 2)
 
             @pl.when(ci + 1 < nch)
             def _():
-                pdma(1 - slot, ci + 1).start()
-                sdma(1 - slot, ci + 1).start()
+                pdma(1 - slot, base + ci + 1).start()
+                sdma(1 - slot, base + ci + 1).start()
 
-            pdma(slot, ci).wait()
-            sdma(slot, ci).wait()
+            pdma(slot, base + ci).wait()
+            sdma(slot, base + ci).wait()
             zmin, sel = eval_chunk(slot)
             return merge(carry, zmin, sel)
 
@@ -660,13 +757,13 @@ def _kernel_dma(
         v_out[0, vi, :, :] = row.reshape(tile_h, tile_w)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
 def gbuffer_tiles_dma(
     planes_flat: jnp.ndarray,  # (B, 4, NCH*4c) chunk-major plane coefficients
     #   (4th coefficient row is zero padding for the DMA sublane tiling)
     sel_flat: jnp.ndarray,  # (B, m_sel, NCH*c) chunk-major select rows
-    start_chunks: jnp.ndarray,  # (B, n_tiles) i32
-    n_chunks: jnp.ndarray,  # (B, n_tiles) i32
+    start_chunks: jnp.ndarray,  # (B, sub*n_tiles) i32 (band-major rows)
+    n_chunks: jnp.ndarray,  # (B, sub*n_tiles) i32
     n_vals: int,
     tile_h: int,
     tile_w: int,
@@ -676,13 +773,22 @@ def gbuffer_tiles_dma(
     dot_precision=jax.lax.Precision.HIGHEST,
     unroll: int = 1,
     winner_mode: str = "dot",
+    sub: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched v2 G-buffer kernel over an (views, tiles) grid. The flat
     coefficient lists stay in HBM; each tile's 128-aligned segment is
     streamed into VMEM with double-buffered DMA (no dense per-tile
     expansion in HBM at all). Outputs are written directly in image layout:
-    (B, H, W) z and id, (B, n_vals, H, W) raw attribute values."""
-    bsz, n_tiles = start_chunks.shape
+    (B, H, W) z and id, (B, n_vals, H, W) raw attribute values.
+
+    ``sub`` > 1 (RasterizerConfig.bin_subtile): the chunk lists were binned
+    at (tile_h / sub)-row band granularity; the scalar-prefetch arrays hold
+    one (start, count) pair per BAND in band-row-major order, and each
+    chunk evaluates against only its band's pixels (the output grid stays
+    at tile granularity)."""
+    bsz, n_bins = start_chunks.shape
+    assert n_bins == sub * n_ty * n_tx, (n_bins, sub, n_ty, n_tx)
+    n_tiles = n_ty * n_tx
     m_sel = 5 + 3 * n_vals
     m_pad = -(-m_sel // 8) * 8
     sel_packed = sel_flat.dtype == jnp.bfloat16
@@ -690,11 +796,14 @@ def gbuffer_tiles_dma(
     assert sel_flat.shape[1] == sel_rows, (sel_flat.shape, sel_rows)
     ph, pw = n_ty * tile_h, n_tx * tile_w
     p = tile_h * tile_w
+    if sub > 1 and unroll == 2:
+        unroll = 1  # the banded pipeline is single-stream (measured-neutral
+        # unroll=2 is not worth a second banded variant)
 
     kernel = functools.partial(
         _kernel_dma, c=c, n_vals=n_vals, m_sel=m_sel, tile_h=tile_h,
         tile_w=tile_w, dot_precision=dot_precision, unroll=unroll,
-        winner_mode=winner_mode, sel_packed=sel_packed,
+        winner_mode=winner_mode, sel_packed=sel_packed, sub=sub, n_tx=n_tx,
     )
     n_slots = 4 if unroll == 2 else 2
     interpret = jax.default_backend() not in ("tpu", "axon")

@@ -190,6 +190,23 @@ class RasterizerConfig(NamedTuple):
     # binning_stats validates it like every other budget. Ignored when
     # >= T.
     bin_tiny_cap: int = 0
+    # Sub-tile row banding for the DMA kernel (1 = off). With bin_subtile=s
+    # the binning runs at (tile_h / s)-row BAND granularity and each
+    # (triangle, pixel) plane eval touches only the band's tile_w*(tile_h/s)
+    # pixels — the coverage/select MXU pass count per entry divides by s
+    # while entries only grow by the band-straddle factor. Unlike shrinking
+    # tile_h itself (measured -15%: per-tile fixed costs double), the
+    # kernel KEEPS tile_h-row output tiles and runs all s bands of a tile
+    # through ONE continuous double-buffered DMA pipeline, so grid steps,
+    # output writes and DMA warmups stay at the tile count. s must divide
+    # tile_h; spans (bin_span_tiles_y / bin_med_span_y) are interpreted in
+    # BAND units when s > 1 (auto_fast_config validates budgets either
+    # way). Only the fused DMA G-buffer path honors it (like bin_tiny_px);
+    # BIT-identical to bin_subtile=1 in every precision mode: the rebase
+    # stays at the TILE origin and each band evaluates with its true
+    # tile-local ly, so every pixel sees the same float expressions over
+    # the same candidate set in the same tie order.
+    bin_subtile: int = 1
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -1240,9 +1257,16 @@ def rasterize_db(
 def _binning_stats_jit(pos, tri, resolution, config):
     height, width = resolution
     tile_h, tile_w = config.tile_h, config.tile_w
-    n_ty = -(-height // tile_h)
+    full_ty = -(-height // tile_h)
     n_tx = -(-width // tile_w)
     t_total = tri.shape[0]
+    # bin_subtile: the binning runs at band granularity over the PADDED
+    # grid (see _gbuffer_dma_batched) — the guard must classify/count at
+    # exactly the same grid or span/per-bin budgets drift.
+    sub = max(config.bin_subtile, 1)
+    bin_h = tile_h // sub
+    bin_height = full_ty * tile_h if sub > 1 else height
+    n_ty = full_ty * sub
     k_cap = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
 
     def per_view(pos_clip):
@@ -1251,7 +1275,7 @@ def _binning_stats_jit(pos, tri, resolution, config):
         # bit-in-lockstep with the binning; see _bin_classify).
         (tx0, tx1, ty0, ty1, span_x, span_y, on, small, medium, huge) = (
             _bin_classify(
-                setup, width, height, tile_h, tile_w,
+                setup, width, bin_height, bin_h, tile_w,
                 config.bin_span_tiles_y, config.bin_span_tiles_x,
                 config.bin_med, config.bin_med_span_y, config.bin_med_span_x,
                 tiny_px=config.bin_tiny_px,
