@@ -333,6 +333,46 @@ def test_bin_subtile_bit_identical(prec, sub):
     np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))
 
 
+@pytest.mark.parametrize("prec", ["highest", "split_bf16"])
+def test_dma_group_and_cov_bits_bit_identical(prec):
+    """dma_group=g (grouped chunk DMA streaming) must be BIT-identical to
+    the per-chunk pipeline (same data at 128-aligned lane offsets, same
+    expressions, same order), and cov_mode='bits' (sign-bit coverage) must
+    match the float compare chain (divergence requires e == -0.0, which no
+    live entry can produce — every valid edge row has (alpha, beta) != 0
+    and RN sums that cancel to zero yield +0.0). 152 rows exercises the
+    padded tile grid; group 8 exceeds most tiles' chunk counts so the
+    group-aligned l_cap padding and absolute-index fetches are covered."""
+    from worldrenderer_tpu.mesh import make_grid_mesh
+    from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG
+
+    verts, faces = make_grid_mesh(72)  # 10368 tris, above sort_pairs min
+    v_pos = jnp.asarray(verts, jnp.float32)
+    tri = jnp.asarray(faces, jnp.int32)
+    cam = get_camera(
+        elevation_deg=35.0, distance=2.2, fovy_deg=50.0, num_views=2,
+        near=0.1, far=10.0,
+    )
+    pos_clip = get_clip_space_position(v_pos, cam.mvp_mtx)
+    v_nrm = jnp.ones((v_pos.shape[0], 3), jnp.float32)
+    res = (152, 160)
+    base = FAST_TPU_CONFIG._replace(dot_precision=prec)
+    a = rasterize_gbuffer(pos_clip, tri, v_nrm, res, base)
+    for variant in (
+        base._replace(dma_group=4),
+        base._replace(dma_group=8),
+        base._replace(cov_mode="bits"),
+        base._replace(dma_group=4, cov_mode="bits"),
+    ):
+        b = rasterize_gbuffer(pos_clip, tri, v_nrm, res, variant)
+        np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+        np.testing.assert_array_equal(
+            np.asarray(a.tri_id), np.asarray(b.tri_id)
+        )
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+        np.testing.assert_array_equal(np.asarray(a.attr), np.asarray(b.attr))
+
+
 def test_bin_subtile_validates():
     from worldrenderer_tpu.mesh import make_grid_mesh
     from worldrenderer_tpu.ops.rasterize import FAST_TPU_CONFIG

@@ -1045,6 +1045,16 @@ def _gbuffer_dma_batched(
     # Upper bound on the sum of c-aligned (capped) segment lengths.
     l_cap = min(l_keys + n_bins * (c - 1), n_bins * (-(-k_cap // c) * c))
     l_cap = -(-l_cap // c) * c
+    # Grouped DMA streaming (dma_group): group-align the flat chunk count
+    # so the kernel's absolute-index group fetches stay in bounds (the
+    # extra <= group-1 chunks are dead sentinel entries).
+    grp = (
+        config.dma_group
+        if (config.bin_subtile == 1 and config.kernel_unroll == 1)
+        else 1
+    )
+    if grp > 1:
+        l_cap = -(-l_cap // (c * grp)) * (c * grp)
 
     # Hoist the triangle-corner gathers out of the view vmap: the indices
     # are view-independent, and gather cost is per-row.
@@ -1182,7 +1192,7 @@ def _gbuffer_dma_batched(
     z, idm, vals = gbuffer_tiles_dma(
         planes_flat, sel_flat, start_chunks, n_chunks,
         nv, tile_h, tile_w, n_ty, n_tx, c, _PRECISIONS[prec],
-        config.kernel_unroll, config.winner_mode, sub,
+        config.kernel_unroll, config.winner_mode, sub, grp, config.cov_mode,
     )
     z = z[:, :height, :width]
     idm = idm[:, :height, :width]

@@ -398,6 +398,8 @@ def _kernel_dma(
     sel_packed=False,
     sub=1,
     n_tx=1,
+    group=1,
+    cov_mode="cmp",
 ):
     """Fused z/id/attr pass, v2: manual double-buffered DMA of the tile's
     flat 128-aligned coefficient segment + winner-select matmul.
@@ -456,9 +458,18 @@ def _kernel_dma(
             ssem.at[slot],
         )
 
-    def eval_chunk(slot, b_mat=b_mat, p=p):
-        """One chunk's (zmin, sel): coverage eval + unique-winner select."""
-        a_t = pbuf[slot]  # (4, 4c); zero 4th coef row pairs with b_mat row 3
+    def eval_chunk(slot, b_mat=b_mat, p=p, q=None):
+        """One chunk's (zmin, sel): coverage eval + unique-winner select.
+
+        ``q``: sub-chunk index within a grouped DMA fetch (dma_group > 1) —
+        the chunk's coefficients live at a 128-aligned lane offset inside
+        the group-sized VMEM buffers instead of filling them."""
+        if q is None:
+            a_t = pbuf[slot]  # (4, 4c); zero 4th coef row pairs with B row 3
+            a_s = sbuf[slot]  # (m_pad, c); rows beyond m_sel are zero pad
+        else:
+            a_t = pbuf[slot, :, pl.ds(pl.multiple_of(q * (4 * c), 128), 4 * c)]
+            a_s = sbuf[slot, :, pl.ds(pl.multiple_of(q * c, 128), c)]
         if dot_precision == "split_bf16":
             # hi/lo passes MERGED into one depth-8 contraction against
             # [B; B]: the MXU pads any contraction below 128 to one full
@@ -486,10 +497,32 @@ def _kernel_dma(
         e1 = e_all[c : 2 * c]
         e2 = e_all[2 * c : 3 * c]
         z = e_all[3 * c : 4 * c]
-        # (A min-tree + abs "folded" coverage was measured ~5-8% SLOWER than
-        # this compare-and chain on v5e — Mosaic fuses predicate chains
-        # into mask registers better than value mins.)
-        cov = (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0) & (z >= -1.0) & (z <= 1.0)
+        if cov_mode == "bits":
+            # Sign-bit coverage: 4 cmp + 3 and + 1 where (9 VPU passes over
+            # (c, P)) become 2 or + 1 and-mask + 2 cmp + 1 and (bitcasts are
+            # free re-interpretations). e >= 0 == sign(e0|e1|e2) == 0 and
+            # |z| <= 1 == (bits(z) & 0x7fffffff) <= bits(1.0). Exactness:
+            # float e >= 0.0 differs from the sign-bit test ONLY at
+            # e == -0.0, which no live entry can produce — every edge row
+            # has (alpha, beta) != (0, 0) (zero-area triangles are invalid
+            # and carry e0 = -BIG), pixel coords are > 0, and an IEEE
+            # round-to-nearest sum with any nonzero addend that cancels to
+            # zero yields +0.0. NaN z is excluded by both forms (NaN bits
+            # compare above bits(1.0)).
+            def _bits(v):
+                return jax.lax.bitcast_convert_type(v, jnp.int32)
+
+            cov = ((_bits(e0) | _bits(e1) | _bits(e2)) >= 0) & (
+                (_bits(z) & jnp.int32(0x7FFFFFFF)) <= jnp.int32(0x3F800000)
+            )
+        else:
+            # (A min-tree + abs "folded" coverage was measured ~5-8% SLOWER
+            # than this compare-and chain on v5e — Mosaic fuses predicate
+            # chains into mask registers better than value mins.)
+            cov = (
+                (e0 >= 0.0) & (e1 >= 0.0) & (e2 >= 0.0)
+                & (z >= -1.0) & (z <= 1.0)
+            )
         zc = jnp.where(cov, z, _BIG_Z)
         zmin = jnp.min(zc, axis=0, keepdims=True)  # (1, P)
         wpb = zc == zmin  # (C, P) bool; ties possible
@@ -504,7 +537,11 @@ def _kernel_dma(
             win_i = jnp.min(
                 jnp.where(wpb, rowi, jnp.int32(c)), axis=0, keepdims=True
             )
-            first = wpb & (rowi == win_i)
+            # rowi == win_i alone IS the unique winner mask: zmin always
+            # has an attaining row (win_i < c), row indices are distinct,
+            # and wpb holds at the argmin row by construction — the
+            # explicit `& wpb` was a redundant (c, P) pass.
+            first = rowi == win_i
         else:
             csum = jax.lax.dot_general(
                 tri_lower, wpb.astype(jnp.bfloat16),
@@ -513,7 +550,6 @@ def _kernel_dma(
             )  # inclusive prefix counts (exact: integers <= C)
             first = wpb & (csum == 1.0)  # unique first-hit winner
 
-        a_s = sbuf[slot]  # (m_pad, c); rows beyond m_sel are zero padding
         if sel_packed:
             # Prep-split stacked bf16 [s_hi; s_lo] rows: ONE dot, then add
             # the halves (an (m_pad, P) f32 add — trivial next to a pass).
@@ -720,6 +756,67 @@ def _kernel_dma(
         zbuf, idbuf, selbuf = jax.lax.fori_loop(
             (nch // 2) * 2, nch, tail_body, carry
         )
+    elif group > 1:
+        # Grouped DMA streaming (RasterizerConfig.dma_group): fetch `group`
+        # consecutive chunks per double-buffered DMA pair instead of one —
+        # the per-chunk DMA issue + semaphore-wait fixed cost (a top
+        # per-chunk cost at these shapes; transfers themselves are ~100 ns
+        # of bandwidth) divides by up to `group`. Groups are aligned to
+        # ABSOLUTE chunk indices, so consecutive tiles sharing a group
+        # still fetch it once each but a tile's 1-2 chunks usually land in
+        # ONE fetch; the caller pads the flat lists to a group multiple so
+        # the last group's read stays in bounds. Each chunk evaluates from
+        # a 128-aligned lane offset inside the group buffer (bit-identical
+        # to group=1: same data, same expressions, same order).
+        base = start_ref[b, i]
+        nch = nch_ref[b, i]
+        g0 = base // group
+        glast = (base + nch - 1) // group  # meaningful only when nch > 0
+
+        def pdma_g(slot, g):
+            return pltpu.make_async_copy(
+                planes_hbm.at[b, :, pl.ds(g * (group * 4 * c), group * 4 * c)],
+                pbuf.at[slot],
+                psem.at[slot],
+            )
+
+        def sdma_g(slot, g):
+            return pltpu.make_async_copy(
+                sel_hbm.at[b, :, pl.ds(g * (group * c), group * c)],
+                sbuf.at[slot],
+                ssem.at[slot],
+            )
+
+        @pl.when(nch > 0)
+        def _():
+            s0 = jax.lax.rem(g0, 2)
+            pdma_g(s0, g0).start()
+            sdma_g(s0, g0).start()
+
+        def body(ci, carry):
+            absi = base + ci
+            g = absi // group
+            q = jax.lax.rem(absi, group)
+            slot = jax.lax.rem(g, 2)
+            entering = (ci == 0) | (q == 0)
+
+            @pl.when(entering)
+            def _():
+                pdma_g(slot, g).wait()
+                sdma_g(slot, g).wait()
+
+            # Prefetch g+1 into the other slot at group entry: that slot's
+            # last read was during group g-1 (already complete), and the
+            # transfer overlaps this whole group's compute.
+            @pl.when(entering & (g < glast))
+            def _():
+                pdma_g(1 - slot, g + 1).start()
+                sdma_g(1 - slot, g + 1).start()
+
+            zmin, sel = eval_chunk(slot, q=q)
+            return merge(carry, zmin, sel)
+
+        zbuf, idbuf, selbuf = jax.lax.fori_loop(0, nch, body, init)
     else:
         base = start_ref[b, i]
         nch = nch_ref[b, i]
@@ -757,7 +854,9 @@ def _kernel_dma(
         v_out[0, vi, :, :] = row.reshape(tile_h, tile_w)
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13))
+@functools.partial(
+    jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+)
 def gbuffer_tiles_dma(
     planes_flat: jnp.ndarray,  # (B, 4, NCH*4c) chunk-major plane coefficients
     #   (4th coefficient row is zero padding for the DMA sublane tiling)
@@ -774,6 +873,8 @@ def gbuffer_tiles_dma(
     unroll: int = 1,
     winner_mode: str = "dot",
     sub: int = 1,
+    group: int = 1,
+    cov_mode: str = "cmp",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Batched v2 G-buffer kernel over an (views, tiles) grid. The flat
     coefficient lists stay in HBM; each tile's 128-aligned segment is
@@ -799,11 +900,23 @@ def gbuffer_tiles_dma(
     if sub > 1 and unroll == 2:
         unroll = 1  # the banded pipeline is single-stream (measured-neutral
         # unroll=2 is not worth a second banded variant)
+    if cov_mode not in ("cmp", "bits"):
+        raise ValueError(f"unknown cov_mode {cov_mode!r}")
+    if sub > 1 or unroll == 2:
+        group = 1  # grouped DMA is only built for the default pipeline
+    if group > 1:
+        nch_total = planes_flat.shape[2] // (4 * c)
+        if nch_total % group:
+            raise ValueError(
+                f"dma_group ({group}) requires the flat chunk count "
+                f"({nch_total}) to be a group multiple (caller pads l_cap)"
+            )
 
     kernel = functools.partial(
         _kernel_dma, c=c, n_vals=n_vals, m_sel=m_sel, tile_h=tile_h,
         tile_w=tile_w, dot_precision=dot_precision, unroll=unroll,
         winner_mode=winner_mode, sel_packed=sel_packed, sub=sub, n_tx=n_tx,
+        group=group, cov_mode=cov_mode,
     )
     n_slots = 4 if unroll == 2 else 2
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -832,8 +945,8 @@ def gbuffer_tiles_dma(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_slots, 4, 4 * c), jnp.float32),
-            pltpu.VMEM((n_slots, sel_rows, c), sel_flat.dtype),
+            pltpu.VMEM((n_slots, 4, group * 4 * c), jnp.float32),
+            pltpu.VMEM((n_slots, sel_rows, group * c), sel_flat.dtype),
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA((n_slots,)),
         ],

@@ -207,6 +207,21 @@ class RasterizerConfig(NamedTuple):
     # tile-local ly, so every pixel sees the same float expressions over
     # the same candidate set in the same tie order.
     bin_subtile: int = 1
+    # DMA-kernel chunk streaming granularity: fetch this many consecutive
+    # chunks per double-buffered DMA pair instead of one. The per-chunk
+    # DMA issue + semaphore-wait fixed cost divides by up to `group`
+    # (transfers themselves are ~100 ns of bandwidth at these sizes);
+    # groups align to absolute chunk indices so a median 1-2-chunk tile
+    # lands in ONE fetch. BIT-identical to 1 (same data, expressions,
+    # order). Only the default DMA pipeline honors it (bin_subtile > 1 or
+    # kernel_unroll == 2 force it back to 1). VMEM cost: the double
+    # buffers grow to 2 * group * 16 KB (group = 8 -> 256 KB, trivial).
+    dma_group: int = 1
+    # DMA-kernel coverage test: "cmp" = 4 float compares + 3 ands, "bits" =
+    # sign-bit OR over the three edge rows + an |z|-bits range test (6 VPU
+    # passes over (c, P) instead of 9). Differs from float semantics only
+    # at e == -0.0, which no live entry can produce (see _kernel_dma).
+    cov_mode: str = "cmp"
 
 
 DEFAULT_CONFIG = RasterizerConfig()
