@@ -1088,3 +1088,50 @@ def test_topk_small_matches_lax_topk():
             vals, idx = _topk_small(prio, g)
             np.testing.assert_array_equal(np.asarray(vals), np.asarray(vals_ref))
             np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+
+
+@pytest.mark.parametrize("backend", ["fused", "fused_pallas"])
+def test_bin_cull_bit_exact(backend):
+    """bin_cull drops (tile, triangle) replica entries whose triangle
+    covers no pixel center in the tile (bbox binning over-approximates
+    near diagonal edges). A culled entry can never win a pixel, so the
+    render must be BIT-identical — while the binned entry population
+    actually shrinks (the test is not vacuous)."""
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import (
+        _CULL_MARGIN,
+        _bin_flat,
+        _triangle_setup_t,
+    )
+
+    rng = np.random.default_rng(11)
+    # Big random triangles only: lots of diagonal-edge tiles (tiny ones
+    # route through the sort path, which bin_cull does not touch).
+    pos, tri = _mixed_tiny_scene(rng, n_big=600, n_tiny=0)
+    attr = jnp.asarray(rng.normal(size=(pos.shape[0], 4)).astype(np.float32))
+    base = RasterizerConfig(
+        backend=backend, dot_precision="highest",
+        bin_sort_pairs_min_tris=0, bin_med=16, tile_h=16,
+    )
+    off = rasterize_gbuffer(pos[None], tri, attr, (128, 128), config=base)
+    on = rasterize_gbuffer(
+        pos[None], tri, attr, (128, 128), config=base._replace(bin_cull=True)
+    )
+    for field in ("mask", "z", "tri_id", "attr"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(off, field)),
+            np.asarray(getattr(on, field)),
+            err_msg=f"{backend}/{field}",
+        )
+
+    # The cull must actually remove entries on this scene.
+    setup = _triangle_setup_t(pos, tri, 128, 128)
+    counts = {}
+    for name, m in (("off", 0.0), ("on", _CULL_MARGIN)):
+        _, _, _, c = _bin_flat(
+            setup, 128, 128, base.tile_h, 128, base.bin_span_tiles_y,
+            base.bin_span_tiles_x, base.bin_huge, n_med=base.bin_med,
+            cull_margin=m,
+        )
+        counts[name] = int(np.asarray(c).sum())
+    assert counts["on"] < counts["off"], counts

@@ -119,7 +119,7 @@ def probe_scene(name, mesh, cam, res, cfg):
                 np.abs(ak) * np.abs(rx1) + np.abs(bk) * np.abs(ry1)
                 + np.abs(gk)
             )
-            cull2 |= emax < -(1e-5 * mag)
+            cull2 |= emax < -(2e-5 * mag)  # shipped _CULL_MARGIN
 
         # Exact coverage: any pixel center in the tile with all e >= 0 and
         # z in [-1, 1]. Batched over entries; f64 ground truth.

@@ -35,6 +35,7 @@ from .rasterize import (
     _auto_cap,
     _bin_dispatch,
     _bin_flat,
+    _CULL_MARGIN,
     _triangle_setup,
     _triangle_setup_t,
     _BIG_NEG,
@@ -894,6 +895,7 @@ def _gbuffer_single(
             tiny_px=config.bin_tiny_px,
             cap_abs=config.bin_flat_cap_abs,
             small_cap=config.bin_small_cap,
+            cull_margin=_CULL_MARGIN if config.bin_cull else 0.0,
         )
         coeffs, counts = _gather_tile_rows_flat(
             all_planes, setup.valid, flat, origin, min(max_per_tile, t_total),
@@ -1106,6 +1108,7 @@ def _gbuffer_dma_batched(
             tiny_px=config.bin_tiny_px,
             cap_abs=config.bin_flat_cap_abs,
             small_cap=config.bin_small_cap,
+            cull_margin=_CULL_MARGIN if config.bin_cull else 0.0,
         )
         chunks = _flat_chunks(
             setup, tri, v_attr, flat, k_cap, n_tx, tile_w, band_h, c, l_cap,

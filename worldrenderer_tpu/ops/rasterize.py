@@ -222,6 +222,17 @@ class RasterizerConfig(NamedTuple):
     # passes over (c, P) instead of 9). Differs from float semantics only
     # at e == -0.0, which no live entry can produce (see _kernel_dma).
     cov_mode: str = "cmp"
+    # Dead-entry corner cull (binning): drop (tile, triangle) replica
+    # entries whose triangle provably covers NO pixel center in the tile —
+    # the max of some edge function over the tile-rect ∩ bbox candidate-
+    # center rect is clearly negative. 13-15% of small-tier entries on
+    # headline-class scenes are dead (bbox binning near diagonal edges;
+    # tools/probe_dead_entries.py), modeling 11-14% fewer kernel chunk
+    # trips. Conservative by a 2e-5 relative margin (~5x split_bf16's
+    # ~2^-17 eval noise; the probe culls 0 live entries across scenes), so
+    # outputs stay BIT-identical: a culled entry can never win a pixel.
+    # Applies to all three tiers (small direct + two-stage, medium, huge).
+    bin_cull: bool = False
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -300,6 +311,12 @@ FAST_TPU_CONFIG = RasterizerConfig(
     bin_span_tiles_y=2,
     bin_span_tiles_x=2,
     bin_med=512,
+    # Dead-entry corner cull: 13-15% of small-tier entries on headline-
+    # class scenes never cover a pixel center (tools/probe_dead_entries.py)
+    # and the per-chunk-fixed-cost-bound DMA kernel pays per entry. On-chip
+    # interleaved A/B (tools/ab_bin_cull.py): 4/4 pairs >= 1.0, median
+    # +5.8% frame, BIT-identical z/id in fp32 and split_bf16.
+    bin_cull=True,
 )
 
 
@@ -678,6 +695,7 @@ def _bin_triangles_sort_pairs(
     n_med: int = 0,
     med_span_y: int = 8,
     med_span_x: int = 4,
+    cull_margin: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fast binning: ONE sort of (tile, tri) replica pairs instead of a
     per-tile-column stable argsort (the per-column sort was ~16x more
@@ -694,6 +712,7 @@ def _bin_triangles_sort_pairs(
     flat = _bin_flat(
         setup, width, height, tile_h, tile_w, span_y_max, span_x_max, n_huge,
         n_med=n_med, med_span_y=med_span_y, med_span_x=med_span_x,
+        cull_margin=cull_margin,
     )
     s_tri, _, starts, counts = flat
 
@@ -775,6 +794,23 @@ def _tiny_mask(setup, tiny_px: float):
     )
 
 
+# Relative margin for the dead-entry corner cull (RasterizerConfig.bin_cull).
+# Must exceed the kernel-side coverage-eval divergence from exact math:
+# f32 rebase + eval is ~eps*mag, split_bf16's hi/lo coefficient split is
+# ~2^-17*mag ≈ 7.6e-6*mag. 2e-5 clears both; tools/probe_dead_entries.py
+# verifies 0 live entries culled at this class of margin.
+_CULL_MARGIN = 2e-5
+
+
+def _edge_rows9(setup):
+    """(9, T) edge-plane rows [e0_a, e0_b, e0_g, e1_a, ...] for either
+    setup layout (a cheap slice for _TriSetupT; one reshape otherwise)."""
+    if isinstance(setup, _TriSetupT):
+        return setup.planes12[:9, :-1]
+    p = setup.planes[:-1, :3, :]  # (T, 3, 3)
+    return p.reshape(p.shape[0], 9).T
+
+
 def _topk_small(prio: jnp.ndarray, g: int):
     """Exact ``lax.top_k`` replacement for small g: g sequential
     argmax + mask passes under one scan. ``lax.top_k`` lowers to a FULL
@@ -809,6 +845,7 @@ def _bin_flat(
     tiny_px: float = 0.0,
     cap_abs: int = 0,
     small_cap: int = 0,
+    cull_margin: float = 0.0,
 ):
     """Flat binning core: ONE sort of (tile, tri) replica pairs.
 
@@ -842,6 +879,52 @@ def _bin_flat(
 
     tri_idx = jnp.arange(t_total, dtype=jnp.int32)
     sentinel = jnp.int32(n_tiles) * jnp.int32(t_total)
+
+    cm = float(cull_margin)
+    if cm > 0.0:
+        e9 = _edge_rows9(setup)
+        xmin, xmax, ymin, ymax = _bbox_vectors(setup)
+        # First/last pixel-center coordinate the triangle's own bbox spans
+        # (centers sit at +0.5): any covered center lies in the tile's
+        # center rect ∩ this bbox-center rect.
+        cb = (
+            jnp.ceil(xmin - 0.5) + 0.5, jnp.floor(xmax - 0.5) + 0.5,
+            jnp.ceil(ymin - 0.5) + 0.5, jnp.floor(ymax - 0.5) + 0.5,
+        )
+
+        def _dead_at(ty, tx, e9=e9, cb=cb):
+            """True where a (triangle, tile) entry provably covers no pixel
+            center: the rect is empty, or the MAX of some edge function
+            over it (corner eval: e(x0,y0) + max(0, a*w) + max(0, b*h)) is
+            below -margin*mag — conservative vs the kernel's own f32 /
+            split_bf16 eval (see _CULL_MARGIN)."""
+            bx0, bx1, by0, by1 = cb
+            rx0 = jnp.maximum(tx.astype(jnp.float32) * tile_w + 0.5, bx0)
+            rx1 = jnp.minimum(
+                tx.astype(jnp.float32) * tile_w + (tile_w - 0.5), bx1
+            )
+            ry0 = jnp.maximum(ty.astype(jnp.float32) * tile_h + 0.5, by0)
+            ry1 = jnp.minimum(
+                ty.astype(jnp.float32) * tile_h + (tile_h - 0.5), by1
+            )
+            dead = (rx1 < rx0) | (ry1 < ry0)
+            rxw = jnp.maximum(rx1 - rx0, 0.0)
+            ryh = jnp.maximum(ry1 - ry0, 0.0)
+            for k in range(3):
+                a, b, g = e9[3 * k], e9[3 * k + 1], e9[3 * k + 2]
+                emax = (
+                    a * rx0 + b * ry0 + g
+                    + jnp.maximum(0.0, a * rxw)
+                    + jnp.maximum(0.0, b * ryh)
+                )
+                mag = (
+                    jnp.abs(a) * jnp.abs(rx1)
+                    + jnp.abs(b) * jnp.abs(ry1)
+                    + jnp.abs(g)
+                )
+                dead = dead | (emax < -(cm * mag))
+            return dead
+
     sc = min(small_cap, t_total) if small_cap > 0 else 0
     if 0 < sc < t_total:
         # Two-stage small-tier emission (see RasterizerConfig.bin_small_cap):
@@ -861,11 +944,21 @@ def _bin_flat(
         geo = jnp.stack([ty0, tx0, span_y, span_x], axis=1)[sid_c]
         sty0, stx0 = geo[:, 0], geo[:, 1]
         ssy, ssx = geo[:, 2], geo[:, 3]
+        if cm > 0.0:
+            # ONE 13-col row gather for the cull inputs (13 separate column
+            # gathers would pay the per-row latency floor 13x; PERF.md §1).
+            ctbl = jnp.stack(list(cb) + [e9[i] for i in range(9)], axis=1)
+            crow = ctbl[sid_c]  # (sc, 13)
+            scb = (crow[:, 0], crow[:, 1], crow[:, 2], crow[:, 3])
+            se9 = [crow[:, 4 + i] for i in range(9)]
         keys = []
         for sy in range(span_y_max):
             for sx in range(span_x_max):
                 tile = jnp.minimum((sty0 + sy) * n_tx + (stx0 + sx), n_tiles)
                 valid = slive & (sx < ssx) & (sy < ssy)
+                if cm > 0.0:
+                    valid = valid & ~_dead_at(sty0 + sy, stx0 + sx,
+                                              e9=se9, cb=scb)
                 keys.append(
                     jnp.where(valid, tile * t_total + sid_c, sentinel)
                 )
@@ -879,6 +972,8 @@ def _bin_flat(
                 # off-grid tile index could overflow the int32 key space.
                 tile = jnp.minimum((ty0 + sy) * n_tx + (tx0 + sx), n_tiles)
                 valid = small & (sx < span_x) & (sy < span_y)
+                if cm > 0.0:
+                    valid = valid & ~_dead_at(ty0 + sy, tx0 + sx)
                 keys.append(
                     jnp.where(valid, tile * t_total + tri_idx, sentinel)
                 )
@@ -895,6 +990,9 @@ def _bin_flat(
         mvalid = mvals > 0
         mty0, mtx0 = ty0[mid], tx0[mid]
         msy, msx = span_y[mid], span_x[mid]
+        if cm > 0.0:
+            mcb = tuple(c[mid] for c in cb)
+            me9 = [e9[i][mid] for i in range(9)]
         mkeys = []
         for sy in range(med_span_y):
             for sx in range(med_span_x):
@@ -902,6 +1000,9 @@ def _bin_flat(
                     (mty0 + sy) * n_tx + (mtx0 + sx), n_tiles
                 )
                 valid = mvalid & (sy < msy) & (sx < msx)
+                if cm > 0.0:
+                    valid = valid & ~_dead_at(mty0 + sy, mtx0 + sx,
+                                              e9=me9, cb=mcb)
                 mkeys.append(
                     jnp.where(valid, tile * t_total + mid, sentinel)
                 )
@@ -926,6 +1027,13 @@ def _bin_flat(
             & (tyi[None, :] >= ty0[hid][:, None])
             & (tyi[None, :] <= ty1[hid][:, None])
         )  # (G, n_tiles)
+        if cm > 0.0:
+            # Huge (thin diagonal / near-plane-crossing) triangles overlap
+            # far fewer tiles than their bbox — the cull pays most here.
+            hcb = tuple(c[hid][:, None] for c in cb)
+            he9 = [e9[i][hid][:, None] for i in range(9)]
+            hov = hov & ~_dead_at(tyi[None, :], txi[None, :],
+                                  e9=he9, cb=hcb)
         hkeys = jnp.where(
             hov, tiles[None, :] * t_total + hid[:, None], sentinel
         )
@@ -1081,6 +1189,7 @@ def _bin_dispatch(
             config.bin_span_tiles_y, config.bin_span_tiles_x, config.bin_huge,
             n_med=config.bin_med, med_span_y=config.bin_med_span_y,
             med_span_x=config.bin_med_span_x,
+            cull_margin=_CULL_MARGIN if config.bin_cull else 0.0,
         )
     ids = _bin_triangles(setup, width, height, tile_h, tile_w, max_per_tile)
     counts = jnp.sum(ids < t_total, axis=1).astype(jnp.int32)
