@@ -383,3 +383,110 @@ def test_texel_sharded_bake_chunked(bake_scene):
         camera_projection(
             frames, mesh, cam, device_mesh=dm, texel_chunks=3, **kw
         )
+
+
+_BAKE_WORKER = r"""
+import sys
+pid, port = int(sys.argv[1]), sys.argv[2]
+import os
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")  # pre-empt any external TPU plugin
+from worldrenderer_tpu.parallel import dist
+dist.initialize_distributed(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=2, process_id=pid
+)
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+import numpy as np
+import jax.numpy as jnp
+from worldrenderer_tpu import get_camera
+from worldrenderer_tpu.baking.projection import camera_projection
+from worldrenderer_tpu.mesh import TexturedMesh, uv_sphere_mesh
+from worldrenderer_tpu.parallel import make_device_mesh
+
+# Deterministic identical scene on both processes.
+rng = np.random.default_rng(7)
+verts, faces, uv = uv_sphere_mesh(17, 33)
+tex = np.full((64, 64, 3), 0.25, np.float32)
+mesh = TexturedMesh(
+    v_pos=jnp.asarray(verts, jnp.float32),
+    t_pos_idx=jnp.asarray(faces, jnp.int32),
+    v_tex=jnp.asarray(uv, jnp.float32),
+    t_tex_idx=jnp.asarray(faces, jnp.int32),
+    texture=jnp.asarray(tex),
+)
+cam = get_camera(
+    elevation_deg=[15.0] * 4, distance=[2.6] * 4, fovy_deg=[45.0] * 4,
+    azimuth_deg=[0.0, 90.0, 180.0, 270.0],
+)
+frames = rng.integers(0, 256, size=(4, 48, 48, 3)).astype(np.float32) / 255.0
+kw = dict(uv_size=64, poisson_blending=False, iou_rejection_threshold=None)
+
+# Single-device reference, computed fully locally on each process.
+ref = camera_projection(frames, mesh, cam, **kw)
+ref_proj = np.asarray(ref.uv_proj)
+ref_mask = np.asarray(ref.uv_proj_mask)
+
+# Sharded bake over the GLOBAL 4-device (2 process x 2 device) mesh.
+dm = make_device_mesh(axis_names=("uv",))
+out = camera_projection(frames, mesh, cam, device_mesh=dm, **kw)
+assert out is not None
+
+# The output is a global row-sharded array; each process can only read its
+# own shards — compare them to the reference rows they cover.
+checked = 0
+for shard in out.uv_proj.addressable_shards:
+    local = np.asarray(shard.data)
+    np.testing.assert_allclose(local, ref_proj[shard.index], atol=1e-5)
+    checked += local.shape[0]
+assert checked == 64 // 2, checked  # this process holds half the rows
+for shard in out.uv_proj_mask.addressable_shards:
+    np.testing.assert_array_equal(
+        np.asarray(shard.data), ref_mask[shard.index]
+    )
+dist.barrier()
+print(f"BAKE_WORKER_{pid}_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_texel_sharded_bake():
+    """The texel-sharded bake across a REAL process boundary (VERDICT r3
+    item 4): 2 processes x 2 virtual CPU devices form a global 4-device
+    'uv' mesh; each process checks its addressable row shards against a
+    locally computed single-device reference. shard_map collectives lower
+    differently cross-process (Gloo) than on a single-process virtual
+    mesh — this is the path the flagship multi-chip claim rides."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own 2-device flag
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _BAKE_WORKER, str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} failed:\n{out}\n{err}"
+        assert f"BAKE_WORKER_{pid}_OK" in out
