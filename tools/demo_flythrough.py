@@ -81,6 +81,13 @@ def main():
     ap.add_argument("--out", default="/tmp/flythrough")
     ap.add_argument("--res", default="480x720")
     ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument(
+        "--fixture", action="store_true",
+        help="use the COMMITTED real-scene fixture (tests/data/town.glb + "
+        "its 100-frame camera path) instead of the procedural town + "
+        "reference trajectory — the multi-material / seamed-UV / "
+        "non-unit-scale GLB path real exports take",
+    )
     args = ap.parse_args()
     h, w = (int(v) for v in args.res.split("x"))
 
@@ -93,28 +100,43 @@ def main():
     from worldrenderer_tpu.scene.camera_json import load_camera_from_json
     from worldrenderer_tpu.transforms import get_clip_space_position
 
+    if args.fixture:
+        repo = Path(__file__).resolve().parent.parent
+        args.camera_json = str(repo / "tests" / "data" / "town_camera_path.json")
+
     cam, near, far = load_camera_from_json(args.camera_json, height=h, width=w)
     n = len(cam)
     print(f"{n} frames from {args.camera_json} (near={near:g} far={far:g})")
 
-    rng = np.random.default_rng(0)
-    cam_xy = np.asarray(cam.c2w)[:, :2, 3]
-    verts, faces = build_town(rng, cam_xy)
-    mesh = TexturedMesh(
-        v_pos=jnp.asarray(verts), t_pos_idx=jnp.asarray(faces)
-    )
-    print(f"town: {faces.shape[0]} triangles")
+    if args.fixture:
+        from worldrenderer_tpu.mesh import load_mesh
+
+        repo = Path(__file__).resolve().parent.parent
+        mesh = load_mesh(str(repo / "tests" / "data" / "town.glb"), flip_uv=True)
+    else:
+        rng = np.random.default_rng(0)
+        cam_xy = np.asarray(cam.c2w)[:, :2, 3]
+        verts, faces = build_town(rng, cam_xy)
+        mesh = TexturedMesh(
+            v_pos=jnp.asarray(verts), t_pos_idx=jnp.asarray(faces)
+        )
+    print(f"town: {mesh.t_pos_idx.shape[0]} triangles")
 
     pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
     cfg = auto_fast_config(pos_clip, mesh.t_pos_idx, (h, w), base=FAST_TPU_CONFIG)
     print("auto config: med", cfg.bin_med, "huge", cfg.bin_huge,
           "k", cfg.max_tris_per_tile)
 
+    with_attr = args.fixture and mesh.texture is not None
+
     @jax.jit
     def render_chunk(mesh, c):
-        out = render(mesh, c, h, w, render_attr=False, render_depth=True,
-                     render_normal=True, raster_config=cfg)
-        return out.normal, out.depth, out.mask
+        out = render(mesh, c, h, w, render_attr=with_attr, render_depth=True,
+                     render_normal=True, raster_config=cfg,
+                     attr_background=0.12)
+        return (
+            out.attr if with_attr else out.normal, out.depth, out.mask
+        )
 
     # Warmup compile on the first chunk shape.
     ck = args.chunk
@@ -147,11 +169,16 @@ def main():
     try:
         from PIL import Image
 
+        kind = "attr" if with_attr else "normal"
         for i in (0, n // 2, n - 1):
-            img = np.where(masks[i][..., None], normals[i] * 0.5 + 0.5, 0.12)
+            img = (
+                np.where(masks[i][..., None], normals[i], 0.12)
+                if with_attr
+                else np.where(masks[i][..., None], normals[i] * 0.5 + 0.5, 0.12)
+            )
             Image.fromarray(
                 (np.clip(img, 0, 1) * 255).astype(np.uint8)
-            ).save(out / f"frame_{i:03d}_normal.png")
+            ).save(out / f"frame_{i:03d}_{kind}.png")
         print(f"sample frames -> {out}")
     except ImportError:
         pass

@@ -108,6 +108,12 @@ def camera_projection(
     images_background: Optional[float] = None,
     iou_rejection_threshold: Optional[float] = 0.8,
     aoi_cos_valid_threshold: float = 0.3,
+    # Per-texel reprojection-error validity bound, in WORLD units (the
+    # reference's constant, uv.py:248-298, assumes its load-time
+    # unit-cube normalization). For scenes kept at native scale (e.g. a
+    # multi-meter town) size it to the view-pixel world footprint:
+    # ~ scene_depth * tan(fov/2) * 2 / view_height.
+    pos_error_eps: float = 1e-3,
     depth_grad_dilation: int = 5,
     depth_grad_threshold: float = 0.1,
     uv_exp_blend_alpha: float = 6,
@@ -166,6 +172,7 @@ def camera_projection(
             uv_size=uv_size,
             iou_rejection_threshold=iou_rejection_threshold,
             aoi_cos_valid_threshold=aoi_cos_valid_threshold,
+            pos_error_eps=pos_error_eps,
             depth_grad_dilation=depth_grad_dilation,
             depth_grad_threshold=depth_grad_threshold,
             uv_exp_blend_alpha=uv_exp_blend_alpha,
@@ -325,6 +332,7 @@ def camera_projection(
         geo,
         attr,
         uv_validity_strategy=SimpleUVValidityStrategy(
+            pos_error_eps=pos_error_eps,
             aoi_cos_thresh=aoi_cos_valid_threshold,
             depth_grad_thresh=depth_grad_threshold,
         ),

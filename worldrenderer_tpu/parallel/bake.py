@@ -92,6 +92,7 @@ def sharded_camera_projection(
     uv_size: int = 2048,
     iou_rejection_threshold: Optional[float] = 0.8,
     aoi_cos_valid_threshold: float = 0.3,
+    pos_error_eps: float = 1e-3,
     depth_grad_dilation: int = 5,
     depth_grad_threshold: float = 0.1,
     uv_exp_blend_alpha: float = 6,
@@ -204,8 +205,8 @@ def sharded_camera_projection(
     bake = _build_bake(
         device_mesh, axis_name, uv_size, height, width, n_ch,
         masks_pt is not None, uv_exp_blend_view_weight is not None,
-        aoi_cos_valid_threshold, depth_grad_dilation, depth_grad_threshold,
-        uv_exp_blend_alpha, poisson_blending, pb_num_iters,
+        aoi_cos_valid_threshold, pos_error_eps, depth_grad_dilation,
+        depth_grad_threshold, uv_exp_blend_alpha, poisson_blending, pb_num_iters,
         pb_keep_original_border, from_scratch, uv_padding, raster_config,
         images_pack_mode, texel_chunks,
     )
@@ -230,7 +231,8 @@ def sharded_camera_projection(
 @functools.lru_cache(maxsize=32)
 def _build_bake(
     device_mesh, axis_name, uv_size, height, width, n_ch, has_masks,
-    has_view_weight, aoi_cos_valid_threshold, depth_grad_dilation,
+    has_view_weight, aoi_cos_valid_threshold, pos_error_eps,
+    depth_grad_dilation,
     depth_grad_threshold, uv_exp_blend_alpha, poisson_blending, pb_num_iters,
     pb_keep_original_border, from_scratch, do_uv_padding, raster_config,
     images_pack_mode, texel_chunks,
@@ -241,6 +243,7 @@ def _build_bake(
     retracing (a per-call closure would recompile every bake)."""
     del has_masks, has_view_weight  # only part of the cache key
     validity = SimpleUVValidityStrategy(
+        pos_error_eps=pos_error_eps,
         aoi_cos_thresh=aoi_cos_valid_threshold,
         depth_grad_thresh=depth_grad_threshold,
     )

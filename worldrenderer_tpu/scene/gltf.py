@@ -215,7 +215,17 @@ def load_glb(path):
     None, texture (H,W,3) f32 or None, normals (V,3) or None.
     All primitives are flattened into world space and concatenated
     (reference mesh.py:215-230 scene concatenation semantics).
-    """
+
+    Multi-material scenes (the town.blend-class fixture shape: several
+    primitives, each with its own baseColor texture or factor) are
+    flattened into ONE texture by packing each material's image into a
+    horizontal strip ATLAS and remapping that primitive's UVs into its cell —
+    the renderer then samples a single texture exactly as the reference's
+    concatenated-scene path does. UVs are clamped to [0, 1] during the
+    remap, so REPEAT-wrap tiling beyond the unit square is not preserved
+    (a per-cell limitation of any atlas; bake pipelines regenerate UVs
+    anyway). Untextured materials contribute a constant baseColorFactor
+    cell."""
     scene = parse_glb(path)
     gltf = scene.gltf
     world = _node_world_transforms(gltf)
@@ -224,7 +234,7 @@ def load_glb(path):
     faces_all: List[np.ndarray] = []
     uv_all: List[np.ndarray] = []
     nrm_all: List[np.ndarray] = []
-    texture = None
+    prim_mat: List[Optional[int]] = []  # material index per primitive
     has_uv = True
     has_nrm = True
     vert_base = 0
@@ -256,29 +266,84 @@ def load_glb(path):
                 uv_all.append(scene.accessor_array(attrs["TEXCOORD_0"]).astype(np.float32))
             else:
                 has_uv = False
+                uv_all.append(np.zeros((len(pos), 2), np.float32))
             if "NORMAL" in attrs:
                 nrm = scene.accessor_array(attrs["NORMAL"]).astype(np.float64)
                 nrm_all.append(nrm @ nrm_xform.T)
             else:
                 has_nrm = False
+            prim_mat.append(prim.get("material"))
             vert_base += len(pos)
-
-            if texture is None and "material" in prim:
-                mat = gltf["materials"][prim["material"]]
-                pbr = mat.get("pbrMetallicRoughness", {})
-                bct = pbr.get("baseColorTexture")
-                if bct is not None:
-                    tex = gltf["textures"][bct["index"]]
-                    if "source" in tex:
-                        img_bytes, _ = scene.image_bytes(tex["source"])
-                        texture = _decode_image(img_bytes)
 
     if not verts_all:
         raise ValueError(f"{path}: no triangle geometry found")
+
+    # ---- material resolution: one texture (or factor cell) per material.
+    def _mat_image(mi):
+        if mi is None:
+            return None
+        mat = gltf["materials"][mi]
+        pbr = mat.get("pbrMetallicRoughness", {})
+        bct = pbr.get("baseColorTexture")
+        if bct is not None:
+            tex = gltf["textures"][bct["index"]]
+            if "source" in tex:
+                img_bytes, _ = scene.image_bytes(tex["source"])
+                return _decode_image(img_bytes)
+        factor = pbr.get("baseColorFactor")
+        if factor is not None:
+            return np.broadcast_to(
+                np.asarray(factor[:3], np.float32), (4, 4, 3)
+            ).copy()
+        return None
+
+    used_mats = sorted({m for m in prim_mat if m is not None})
+    images = {m: _mat_image(m) for m in used_mats}
+    textured = [m for m in used_mats if images[m] is not None]
+
+    texture = None
+    uv = np.concatenate(uv_all, axis=0) if has_uv and uv_all else None
+    if len(textured) == 1 and len(used_mats) <= 1:
+        texture = images[textured[0]]
+    elif len(textured) >= 1:
+        # Strip atlas: all cells in ONE horizontal row (cell = the largest
+        # image's size; smaller images are nearest-upsampled). A single
+        # row makes the remap EQUIVARIANT to the loader's global V-flip
+        # (mesh.load_mesh flip_uv does v -> 1-v): v stays within-cell, u
+        # is never flipped, so cell assignment survives any v convention.
+        ncols = len(textured)
+        ch = max(images[m].shape[0] for m in textured)
+        cw = max(images[m].shape[1] for m in textured)
+        atlas = np.zeros((ch, ncols * cw, 3), np.float32)
+        col_of = {}
+        for k, m in enumerate(textured):
+            img = images[m]
+            if img.shape[:2] != (ch, cw):
+                ry = (np.arange(ch) * img.shape[0] // ch).clip(0, img.shape[0] - 1)
+                rx = (np.arange(cw) * img.shape[1] // cw).clip(0, img.shape[1] - 1)
+                img = img[ry][:, rx]
+            atlas[:, k * cw:(k + 1) * cw] = img
+            col_of[m] = k
+        texture = atlas
+        if uv is not None:
+            uv = uv.copy()
+            base = 0
+            for pos, pm in zip(verts_all, prim_mat):
+                n_v = len(pos)
+                if pm in col_of:
+                    c = col_of[pm]
+                    seg = np.clip(uv[base:base + n_v], 0.0, 1.0)
+                    # Half-texel inset keeps bilinear taps inside the cell.
+                    iy, ix = 0.5 / ch, 0.5 / cw
+                    seg = seg * [1 - 2 * ix, 1 - 2 * iy] + [ix, iy]
+                    uv[base:base + n_v, 0] = (seg[:, 0] + c) / ncols
+                    uv[base:base + n_v, 1] = seg[:, 1]
+                base += n_v
+
     return {
         "vertices": np.concatenate(verts_all, axis=0),
         "faces": np.concatenate(faces_all, axis=0),
-        "uv": np.concatenate(uv_all, axis=0) if has_uv and uv_all else None,
+        "uv": uv,
         "normals": np.concatenate(nrm_all, axis=0) if has_nrm and nrm_all else None,
         "texture": texture,
     }
@@ -309,22 +374,21 @@ def _build_glb(gltf: dict, blob: bytes) -> bytes:
     return out
 
 
-def save_glb(
-    path,
-    vertices: np.ndarray,
-    faces: np.ndarray,
-    uv: Optional[np.ndarray] = None,
-    texture: Optional[np.ndarray] = None,
-    normals: Optional[np.ndarray] = None,
-    metallic_roughness_texture: Optional[np.ndarray] = None,
-    normal_texture: Optional[np.ndarray] = None,
-) -> None:
-    """Write a single-mesh GLB (reference replace_mesh_texture_and_save
-    output shape, mesh.py:348-526): positions + indices (+ UVs, baseColor /
-    metallicRoughness / normal textures)."""
-    vertices = np.asarray(vertices, np.float32)
-    faces = np.asarray(faces, np.uint32)
+def save_glb_scene(path, primitives, node_transform=None) -> None:
+    """Write a multi-primitive / multi-material GLB (the town.blend-class
+    scene shape: several parts, each with its own baseColor texture or
+    factor). ``primitives`` is a list of dicts with keys:
 
+      vertices (V,3), faces (T,3)   required
+      uv (V,2), normals (V,3)       optional per-vertex attributes
+      texture (H,W,3) float [0,1]   optional baseColor texture
+      base_color (3,)               optional baseColorFactor (no texture)
+      metallic_roughness_texture / normal_texture   optional PBR maps
+      name                          optional material name
+
+    ``node_transform`` (4,4): optional world transform on the single scene
+    node (e.g. a non-unit scale — real exported scenes rarely sit in a
+    unit cube; load_glb flattens it back into world space)."""
     blob = b""
     buffer_views = []
     accessors = []
@@ -353,13 +417,6 @@ def save_glb(
         accessors.append(acc)
         return len(accessors) - 1
 
-    attrs = {"POSITION": add_accessor(vertices, 5126, "VEC3", 34962)}
-    if normals is not None:
-        attrs["NORMAL"] = add_accessor(np.asarray(normals, np.float32), 5126, "VEC3", 34962)
-    if uv is not None:
-        attrs["TEXCOORD_0"] = add_accessor(np.asarray(uv, np.float32), 5126, "VEC2", 34962)
-    idx_acc = add_accessor(faces.reshape(-1), 5125, "SCALAR", 34963)
-
     images = []
     textures = []
     samplers = [{"magFilter": 9729, "minFilter": 9987, "wrapS": 10497, "wrapT": 10497}]
@@ -370,31 +427,60 @@ def save_glb(
         textures.append({"sampler": 0, "source": len(images) - 1})
         return len(textures) - 1
 
-    material = {"name": "baked", "pbrMetallicRoughness": {}}
-    if texture is not None and uv is not None:
-        material["pbrMetallicRoughness"]["baseColorTexture"] = {
-            "index": add_texture(texture)
-        }
-    if metallic_roughness_texture is not None:
-        material["pbrMetallicRoughness"]["metallicRoughnessTexture"] = {
-            "index": add_texture(metallic_roughness_texture)
-        }
-    if normal_texture is not None:
-        material["normalTexture"] = {"index": add_texture(normal_texture)}
+    prims_json = []
+    materials = []
+    for k, prim in enumerate(primitives):
+        vertices = np.asarray(prim["vertices"], np.float32)
+        faces = np.asarray(prim["faces"], np.uint32)
+        attrs = {"POSITION": add_accessor(vertices, 5126, "VEC3", 34962)}
+        if prim.get("normals") is not None:
+            attrs["NORMAL"] = add_accessor(
+                np.asarray(prim["normals"], np.float32), 5126, "VEC3", 34962
+            )
+        if prim.get("uv") is not None:
+            attrs["TEXCOORD_0"] = add_accessor(
+                np.asarray(prim["uv"], np.float32), 5126, "VEC2", 34962
+            )
+        idx_acc = add_accessor(faces.reshape(-1), 5125, "SCALAR", 34963)
 
+        material = {
+            "name": prim.get("name", f"material_{k}"),
+            "pbrMetallicRoughness": {},
+        }
+        if prim.get("texture") is not None and prim.get("uv") is not None:
+            material["pbrMetallicRoughness"]["baseColorTexture"] = {
+                "index": add_texture(prim["texture"])
+            }
+        elif prim.get("base_color") is not None:
+            material["pbrMetallicRoughness"]["baseColorFactor"] = (
+                list(np.asarray(prim["base_color"], np.float32).tolist()) + [1.0]
+            )[:4]
+        if prim.get("metallic_roughness_texture") is not None:
+            material["pbrMetallicRoughness"]["metallicRoughnessTexture"] = {
+                "index": add_texture(prim["metallic_roughness_texture"])
+            }
+        if prim.get("normal_texture") is not None:
+            material["normalTexture"] = {
+                "index": add_texture(prim["normal_texture"])
+            }
+        materials.append(material)
+        prims_json.append(
+            {"attributes": attrs, "indices": idx_acc, "material": k, "mode": 4}
+        )
+
+    node = {"mesh": 0}
+    if node_transform is not None:
+        # glTF matrices are column-major flattened.
+        node["matrix"] = np.asarray(
+            node_transform, np.float32
+        ).T.reshape(-1).tolist()
     gltf = {
         "asset": {"version": "2.0", "generator": "worldrenderer_tpu"},
         "scene": 0,
         "scenes": [{"nodes": [0]}],
-        "nodes": [{"mesh": 0}],
-        "meshes": [
-            {
-                "primitives": [
-                    {"attributes": attrs, "indices": idx_acc, "material": 0, "mode": 4}
-                ]
-            }
-        ],
-        "materials": [material],
+        "nodes": [node],
+        "meshes": [{"primitives": prims_json}],
+        "materials": materials,
         "accessors": accessors,
         "bufferViews": buffer_views,
         "buffers": [{"byteLength": len(_pad4(blob))}],
@@ -405,6 +491,35 @@ def save_glb(
         gltf["samplers"] = samplers
 
     Path(path).write_bytes(_build_glb(gltf, blob))
+
+
+def save_glb(
+    path,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    uv: Optional[np.ndarray] = None,
+    texture: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+    metallic_roughness_texture: Optional[np.ndarray] = None,
+    normal_texture: Optional[np.ndarray] = None,
+) -> None:
+    """Write a single-mesh GLB (reference replace_mesh_texture_and_save
+    output shape, mesh.py:348-526): positions + indices (+ UVs, baseColor /
+    metallicRoughness / normal textures). One-primitive wrapper over
+    :func:`save_glb_scene`."""
+    save_glb_scene(
+        path,
+        [{
+            "vertices": vertices,
+            "faces": faces,
+            "uv": uv,
+            "texture": None if uv is None else texture,
+            "normals": normals,
+            "metallic_roughness_texture": metallic_roughness_texture,
+            "normal_texture": normal_texture,
+            "name": "baked",
+        }],
+    )
 
 
 def replace_mesh_texture_and_save(
