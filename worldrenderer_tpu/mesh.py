@@ -248,6 +248,34 @@ def merge_duplicate_vertices(
     return merged_vertices, merged_faces
 
 
+def is_watertight(faces, n_vertices: int | None = None) -> bool:
+    """Host-side check that a triangle topology is CLOSED, MANIFOLD, and
+    CONSISTENTLY WOUND: every undirected edge is shared by exactly two
+    faces that traverse it in opposite directions. This is the scene
+    property that makes backface culling visibly exact
+    (RasterizerConfig.backface_cull): every backface pixel of such a mesh,
+    viewed from outside, is occluded by a nearer front face.
+
+    Works on the position topology (t_pos_idx). Pure numpy; returns a
+    Python bool — call it once at load/setup time, never under jit
+    (tracers raise, matching the codebase's host-check convention)."""
+    f = np.asarray(faces)
+    if f.size == 0:
+        return False
+    # Directed edges (a -> b) per corner.
+    a = f
+    b = f[:, [1, 2, 0]]
+    n = int(n_vertices) if n_vertices is not None else int(f.max()) + 1
+    directed = a.astype(np.int64) * n + b.astype(np.int64)
+    d = directed.reshape(-1)
+    # Consistent winding + closed 2-manifold <=> each directed edge occurs
+    # exactly once AND its reverse occurs exactly once.
+    if len(np.unique(d)) != d.size:
+        return False  # duplicated directed edge (non-manifold fan / repeat)
+    rev = (b.astype(np.int64) * n + a.astype(np.int64)).reshape(-1)
+    return bool(np.isin(d, rev).all())
+
+
 def unify_mesh_uv(mesh: TexturedMesh) -> TexturedMesh:
     """Seam-cut a split-UV mesh into unified per-vertex-UV indexing so it
     rides the fused fast path (`render` requires per-primary-vertex UVs;

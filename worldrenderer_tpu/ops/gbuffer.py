@@ -842,7 +842,9 @@ def _gbuffer_single(
     else:
         n_attr = 0 if v_attr is None else v_attr.shape[-1]
 
-    setup = _triangle_setup(pos_clip, tri, width, height)
+    setup = _triangle_setup(
+        pos_clip, tri, width, height, backface_cull=config.backface_cull
+    )
     max_per_tile = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
 
     # Constant id plane: evaluating it yields the global triangle id at
@@ -1063,7 +1065,24 @@ def _gbuffer_dma_batched(
     bsz = pos.shape[0]
     n_vert = pos.shape[1]
     vmajor = tri.T.reshape(-1)
-    if pos_world is not None and mvp is not None:
+    # When positions and attributes share the corner indices (no foreign
+    # attr topology, no uv_mode), ONE (3T, 4+A) row gather feeds both —
+    # gather cost is per-row, so the second 3T-row gather was pure floor
+    # (traced 2.2 ms/view each at 1M tris, fusion.3/fusion.6).
+    fuse_corners = (
+        pos_world is not None and mvp is not None
+        and not uv_mode and v_attr is not None and tri_attr is None
+    )
+    if fuse_corners:
+        combo = jnp.concatenate(
+            [pos_world, jnp.ones_like(pos_world[:, :1]), v_attr], axis=-1
+        )[vmajor]  # (3T, 4 + A)
+        w4 = combo[:, :4].T  # (4, 3T)
+        v_all = jnp.einsum(
+            "bij,jt->bit", mvp, w4, precision=jax.lax.Precision.HIGHEST
+        ).reshape(bsz, 4, 3, t_total)
+        a3 = combo[:, 4:].T.reshape(v_attr.shape[1], 3, t_total)
+    elif pos_world is not None and mvp is not None:
         # Fastest: gather WORLD corners once (view-independent, 4 cols),
         # then transform per view with a (4, 4) @ (4, 3T) MXU matmul.
         # The per-view (3T, B*4)-row clip-corner gather this replaces
@@ -1083,12 +1102,15 @@ def _gbuffer_dma_batched(
             pos.transpose(1, 0, 2).reshape(n_vert, bsz * 4)[vmajor]
             .T.reshape(bsz, 4, 3, t_total)
         )
-    a3 = None
-    if uv_mode:
+    if fuse_corners:
+        pass  # a3 set above
+    elif uv_mode:
         a3 = _uv_corner_attrs_t(t_total)
     elif v_attr is not None:
         am = tri_attr.T.reshape(-1) if tri_attr is not None else vmajor
         a3 = v_attr[am].T.reshape(v_attr.shape[1], 3, t_total)
+    else:
+        a3 = None
 
     tiny_on = config.bin_tiny_px > 0
     if config.bin_tiny_px > 1.0:
@@ -1098,7 +1120,10 @@ def _gbuffer_dma_batched(
         )
 
     def prep(pos_clip, v4):
-        setup = _triangle_setup_t(pos_clip, tri, width, height, v4=v4)
+        setup = _triangle_setup_t(
+            pos_clip, tri, width, height, v4=v4,
+            backface_cull=config.backface_cull,
+        )
         flat = _bin_flat(
             setup, width, bin_height, band_h, tile_w,
             config.bin_span_tiles_y, config.bin_span_tiles_x,

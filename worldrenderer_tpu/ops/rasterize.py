@@ -231,8 +231,30 @@ class RasterizerConfig(NamedTuple):
     # trips. Conservative by a 2e-5 relative margin (~5x split_bf16's
     # ~2^-17 eval noise; the probe culls 0 live entries across scenes), so
     # outputs stay BIT-identical: a culled entry can never win a pixel.
-    # Applies to all three tiers (small direct + two-stage, medium, huge).
+    # Applies to all three tiers (small direct + two-stage, medium, huge)
+    # on the sort_pairs flat path only — the _bin_triangles column-argsort
+    # fallback (t_total < bin_sort_pairs_min_tris, or int32 key overflow)
+    # silently ignores it, which is harmless (the cull is bit-identical by
+    # construction; the fallback just keeps its dead entries).
     bin_cull: bool = False
+    # Backface culling (OPT-IN; correctness is a property of the SCENE):
+    # 0 renders both windings, matching nvdiffrast (reference
+    # render.py:30-62 draws backfaces; z-buffering hides them on closed
+    # meshes). +1 drops screen-space-clockwise (signed area < 0)
+    # triangles at setup, -1 the counter-clockwise ones; this codebase's
+    # negated-Y projection makes standard outward-CCW-wound meshes
+    # (glTF/OBJ convention, uv_sphere_mesh) front-facing with area < 0 —
+    # i.e. use -1 for them (probe + A/B: tools/ab_backface.py). Culling is
+    # VISIBLY exact only for watertight opaque meshes viewed from
+    # outside (every backface pixel is occluded by a nearer front face);
+    # z/coverage are then identical and tri_id can differ only on
+    # shared-edge tie pixels where a culled backface used to win min-id.
+    # Open sheets / interior cameras render holes — never auto-enabled.
+    # Near-plane-crossing triangles are always exempt (see
+    # _triangle_setup). Applies to EVERY path (tile tiers, tiny sort
+    # path, classic, binning_stats) via setup.valid, so budget guards
+    # stay in lockstep and closed-mesh scenes bin ~half the entries.
+    backface_cull: int = 0
 
 
 DEFAULT_CONFIG = RasterizerConfig()
@@ -339,8 +361,21 @@ class _TriSetup(NamedTuple):
     bbox: jnp.ndarray  # (T+1, 4) xmin, xmax, ymin, ymax in pixel units
 
 
-def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height: int) -> _TriSetup:
-    """Per-view triangle setup. pos_clip (V, 4), tri (T, 3)."""
+def _triangle_setup(
+    pos_clip: jnp.ndarray,
+    tri: jnp.ndarray,
+    width: int,
+    height: int,
+    backface_cull: int = 0,
+) -> _TriSetup:
+    """Per-view triangle setup. pos_clip (V, 4), tri (T, 3).
+
+    ``backface_cull`` (RasterizerConfig.backface_cull): 0 renders both
+    windings (nvdiffrast parity — reference render.py:30-62 draws
+    backfaces and lets z-buffering hide them); +1 marks screen-space
+    clockwise (signed area < 0) non-crossing triangles invalid, -1 the
+    counter-clockwise ones. Near-plane-crossing triangles are NEVER
+    culled (their cofactor-plane orientation is a different quantity)."""
     v = pos_clip[tri]  # (T, 3, 4)
     w = v[..., 3]
     front = jnp.all(w > _W_EPS, axis=-1)
@@ -422,6 +457,10 @@ def _triangle_setup(pos_clip: jnp.ndarray, tri: jnp.ndarray, width: int, height:
     inv_w = jnp.where(cx, 1.0, inv_w)
     inv_area = jnp.where(crossing, 1.0, inv_area)
     valid = valid | (crossing & (det_abs > 0))
+    if backface_cull:
+        # Facing uses the pre-normalization signed area; `front` (all
+        # w > eps) excludes crossing triangles by construction.
+        valid = valid & ~(front & (area * backface_cull < 0))
     # Conservative bbox for crossing triangles: project the candidate
     # points of the w >= eps_b clipped polygon (front vertices + the two
     # edge intersections, whose w = eps_b projections are huge but finite
@@ -498,6 +537,7 @@ def _triangle_setup_t(
     width: int,
     height: int,
     v4: Optional[jnp.ndarray] = None,
+    backface_cull: int = 0,
 ) -> _TriSetupT:
     """Per-view triangle setup in transposed orientation (see _TriSetupT).
     Same math as :func:`_triangle_setup`; one row-gather + one 2D transpose
@@ -579,6 +619,10 @@ def _triangle_setup_t(
     inv_w = jnp.where(cr, 1.0, inv_w)
     inv_area = jnp.where(crossing, 1.0, inv_area)
     valid = valid | (crossing & (det_abs > 0))
+    if backface_cull:
+        # Twin of the _triangle_setup cull: pre-normalization area sign,
+        # crossing triangles exempt (front excludes them).
+        valid = valid & ~(front & (area * backface_cull < 0))
     # Conservative bbox for crossing triangles (transposed twin of the
     # block in _triangle_setup: project the w >= eps_b clip-polygon
     # candidates).
@@ -799,6 +843,15 @@ def _tiny_mask(setup, tiny_px: float):
 # f32 rebase + eval is ~eps*mag, split_bf16's hi/lo coefficient split is
 # ~2^-17*mag ≈ 7.6e-6*mag. 2e-5 clears both; tools/probe_dead_entries.py
 # verifies 0 live entries culled at this class of margin.
+#
+# Bit-identity fine print: the margin bounds eval noise at pixel centers
+# INSIDE the tile-rect ∩ bbox-center rect. A center just OUTSIDE the bbox
+# (its exact edge value within the noise band of zero, adversarially
+# aligned geometry) could in principle be noisily covered by the kernel
+# while the cull drops the entry using the rect-restricted max — so
+# guaranteed bit-identity additionally assumes no pixel center sits inside
+# that noise band just outside the bbox (never observed across probed
+# scenes and on-chip checks; the band is ~1e-4 px wide in screen space).
 _CULL_MARGIN = 2e-5
 
 
@@ -939,26 +992,41 @@ def _bin_flat(
         sid = skey[:sc]  # ascending live ids; t_total sentinels in the tail
         slive = sid < t_total
         sid_c = jnp.minimum(sid, t_total - 1)
-        # One 4-column row gather (the per-row latency floor makes one wide
-        # gather beat four 1-column gathers; see docs/PERF.md §1).
-        geo = jnp.stack([ty0, tx0, span_y, span_x], axis=1)[sid_c]
+        geo_cols = [ty0, tx0, span_y, span_x]
+        if cm > 0.0:
+            # Dead-entry masks evaluated BEFORE compaction on full (T,)
+            # COLUMNS (pure elementwise) and packed into one bit-per-span
+            # int column riding the geo gather below. An earlier version
+            # gathered the 13 cull inputs (4 cb + 9 e9) per compacted row
+            # instead — 36 ns/row, 5.7 ms/view at 1M tris (traced
+            # fusion.9); the column eval is bandwidth-cheap and the
+            # booleans are IDENTICAL (same _dead_at math on the same
+            # values), so this is bit-exact by construction.
+            deadbits = jnp.zeros((t_total,), jnp.int32)
+            bit = 0
+            for sy in range(span_y_max):
+                for sx in range(span_x_max):
+                    d = _dead_at(ty0 + sy, tx0 + sx)
+                    deadbits = deadbits | jnp.where(
+                        d, jnp.int32(1 << bit), jnp.int32(0)
+                    )
+                    bit += 1
+            geo_cols.append(deadbits)
+        # One row gather for all per-triangle columns (the per-row latency
+        # floor makes one wide gather beat N 1-column gathers; PERF.md §1).
+        geo = jnp.stack(geo_cols, axis=1)[sid_c]
         sty0, stx0 = geo[:, 0], geo[:, 1]
         ssy, ssx = geo[:, 2], geo[:, 3]
-        if cm > 0.0:
-            # ONE 13-col row gather for the cull inputs (13 separate column
-            # gathers would pay the per-row latency floor 13x; PERF.md §1).
-            ctbl = jnp.stack(list(cb) + [e9[i] for i in range(9)], axis=1)
-            crow = ctbl[sid_c]  # (sc, 13)
-            scb = (crow[:, 0], crow[:, 1], crow[:, 2], crow[:, 3])
-            se9 = [crow[:, 4 + i] for i in range(9)]
+        sdead = geo[:, 4] if cm > 0.0 else None
         keys = []
+        bit = 0
         for sy in range(span_y_max):
             for sx in range(span_x_max):
                 tile = jnp.minimum((sty0 + sy) * n_tx + (stx0 + sx), n_tiles)
                 valid = slive & (sx < ssx) & (sy < ssy)
                 if cm > 0.0:
-                    valid = valid & ~_dead_at(sty0 + sy, stx0 + sx,
-                                              e9=se9, cb=scb)
+                    valid = valid & (((sdead >> bit) & 1) == 0)
+                bit += 1
                 keys.append(
                     jnp.where(valid, tile * t_total + sid_c, sentinel)
                 )
@@ -991,6 +1059,11 @@ def _bin_flat(
         mty0, mtx0 = ty0[mid], tx0[mid]
         msy, msx = span_y[mid], span_x[mid]
         if cm > 0.0:
+            # 13 one-column gathers (4 cb + 9 e9): inconsistent with the
+            # per-row latency floor law (PERF.md §1 — the two-stage small
+            # tier uses ONE 13-col row gather for this), but at <= bin_med
+            # rows the absolute cost is noise. If this tier ever grows,
+            # switch to the ctbl row-gather pattern above.
             mcb = tuple(c[mid] for c in cb)
             me9 = [e9[i][mid] for i in range(9)]
         mkeys = []
@@ -1244,7 +1317,9 @@ def _rasterize_single(
     t_total = tri.shape[0]
 
     config = config._replace(backend=_resolve_backend(config.backend, False))
-    setup = _triangle_setup(pos_clip, tri, width, height)
+    setup = _triangle_setup(
+        pos_clip, tri, width, height, backface_cull=config.backface_cull
+    )
     max_per_tile = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
 
     # At sort_pairs scale, compute the FULL rast output (u, v, z, id)
@@ -1394,7 +1469,10 @@ def _binning_stats_jit(pos, tri, resolution, config):
     k_cap = config.max_tris_per_tile or _auto_cap(t_total, n_ty * n_tx)
 
     def per_view(pos_clip):
-        setup = _triangle_setup_t(pos_clip, tri, width, height)
+        setup = _triangle_setup_t(
+            pos_clip, tri, width, height,
+            backface_cull=config.backface_cull,
+        )
         # SAME classification code path as _bin_flat (the guard must stay
         # bit-in-lockstep with the binning; see _bin_classify).
         (tx0, tx1, ty0, ty1, span_x, span_y, on, small, medium, huge) = (
@@ -1456,8 +1534,10 @@ def auto_fast_config(
     resolution,
     base: RasterizerConfig = FAST_TPU_CONFIG,
     headroom: float = 2.0,
+    cap_headroom: float = 1.5,
     extra_probes=(),
     auto_tiny: bool = True,
+    backface_cull: int = 0,
 ) -> RasterizerConfig:
     """Scene-adaptive binning budgets for the fast path.
 
@@ -1477,6 +1557,13 @@ def auto_fast_config(
     # SAME config must stay lossless for (e.g. camera_projection's UV-atlas
     # pass alongside its view renders) — each budget sizes to the worst
     # probe.
+    if backface_cull:
+        # OPT-IN (see RasterizerConfig.backface_cull — the caller asserts
+        # the scene is watertight-opaque, e.g. via mesh.is_watertight).
+        # Stamped BEFORE probing so every stats histogram and budget below
+        # sizes to the culled triangle set (~half the entries on closed
+        # meshes).
+        base = base._replace(backface_cull=backface_cull)
     if auto_tiny and base.bin_tiny_px == 0:
         # Heavily sub-pixel scenes (high-poly meshes at moderate screen
         # sizes) hit the tile kernel's O(T * tile_px) cliff; the two-sort
@@ -1530,8 +1617,14 @@ def auto_fast_config(
         # 3x the live rows through the record gather, ~2 ms/view at 1M
         # tris); round to 8192 there instead — full ``headroom`` margin is
         # preserved, only the jit-cache-sharing granule coarsens.
+        # cap_headroom, not headroom: these caps directly size the flat
+        # record gathers and multi-operand sorts (cost is per ROW, traced
+        # ~40% of the raw-1M frame), their overflow is deterministic and
+        # guard-checked, and the probe measures the ACTUAL cameras — 2x
+        # margin was paying real milliseconds for protection the
+        # validation loop already provides.
         worst_live = max(st["live_entries"] for st in stats_list)
-        need = int(headroom * worst_live)
+        need = int(cap_headroom * worst_live)
         cap_abs = (
             pow2_at_least(need, 4096) if need <= 65536
             else -(-need // 8192) * 8192
@@ -1543,7 +1636,7 @@ def auto_fast_config(
         # instead of span*T. Size the cap like cap_abs; _bin_flat ignores
         # it when >= T (two-stage would not shrink the sort).
         worst_small = max(st["n_small_tris"] for st in stats_list)
-        need_s = int(headroom * worst_small)
+        need_s = int(cap_headroom * worst_small)
         small_cap = (
             pow2_at_least(need_s, 4096) if need_s <= 65536
             else -(-need_s // 8192) * 8192
@@ -1555,7 +1648,7 @@ def auto_fast_config(
         # two multi-operand sorts from (T + H*W) to (cap + H*W) entries.
         # Same sizing rule as the other caps.
         worst_cov = max(st["n_tiny_cov"] for st in stats_list)
-        need_t = int(headroom * worst_cov)
+        need_t = int(cap_headroom * worst_cov)
         tiny_cap = (
             pow2_at_least(need_t, 4096) if need_t <= 65536
             else -(-need_t // 8192) * 8192
