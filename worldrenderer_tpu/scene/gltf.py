@@ -303,7 +303,9 @@ def load_glb(path):
 
     texture = None
     uv = np.concatenate(uv_all, axis=0) if has_uv and uv_all else None
-    if len(textured) == 1 and len(used_mats) <= 1:
+    if len(textured) == 1 and len(used_mats) == 1:
+        # Exactly one material with one texture: keep both untouched (a
+        # 1-cell "atlas" would only add a clamp + half-texel inset).
         texture = images[textured[0]]
     elif len(textured) >= 1:
         # Strip atlas: all cells in ONE horizontal row (cell = the largest
