@@ -467,3 +467,64 @@ def test_iou_rejection_defined_under_jit():
     baked = jax.jit(fn)(frames, bad_masks)
     assert baked.shape == (32, 32, 3)
     assert bool(jnp.isfinite(baked).all())
+
+
+def test_auto_validity_bounds_scale_invariant():
+    """pos_error_eps / depth_grad_threshold are WORLD-unit bounds; 'auto'
+    scales them to each view's pixel footprint, so a uniformly scaled
+    scene (positions, camera distance, clip planes x10) must bake the
+    IDENTICAL texel mask — while the reference-parity constants, tuned
+    for unit-normalized meshes, collapse at native scales."""
+    from worldrenderer_tpu.baking.projection import camera_projection
+    from worldrenderer_tpu.mesh import uv_sphere_mesh
+
+    verts, faces, uv = uv_sphere_mesh(17, 33)
+    tex = np.full((64, 64, 3), 0.25, np.float32)
+
+    def scene(scale):
+        mesh = TexturedMesh(
+            v_pos=jnp.asarray(verts * scale, jnp.float32),
+            t_pos_idx=jnp.asarray(faces, jnp.int32),
+            v_tex=jnp.asarray(uv, jnp.float32),
+            t_tex_idx=jnp.asarray(faces, jnp.int32),
+            texture=jnp.asarray(tex),
+        )
+        cam = get_camera(
+            elevation_deg=[15.0] * 4, distance=[2.6 * scale] * 4,
+            fovy_deg=[45.0] * 4, azimuth_deg=[0.0, 90.0, 180.0, 270.0],
+            near=0.1 * scale, far=10.0 * scale,
+        )
+        return mesh, cam
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(4, 48, 48, 3)).astype(np.float32) / 255.0
+    kw = dict(uv_size=64, poisson_blending=False, iou_rejection_threshold=None,
+              pos_error_eps="auto", depth_grad_threshold="auto")
+    masks = {}
+    for s in (1.0, 10.0):
+        mesh, cam = scene(s)
+        out = camera_projection(frames, mesh, cam, **kw)
+        masks[s] = np.asarray(out.uv_proj_mask)
+    assert masks[1.0].mean() > 0.2
+    # Not bit-equal: scaling positions x10 perturbs fp rounding, so a few
+    # borderline texels flip; agreement must still be essentially total.
+    agree = (masks[1.0] == masks[10.0]).mean()
+    assert agree > 0.995, agree
+
+    # The absolute default at 10x scale rejects everything — the hazard
+    # 'auto' exists for.
+    mesh, cam = scene(10.0)
+    out = camera_projection(
+        frames, mesh, cam, uv_size=64, poisson_blending=False,
+        iou_rejection_threshold=None,
+    )
+    assert np.asarray(out.uv_proj_mask).mean() < 0.01
+
+    # Sharded path refuses 'auto' loudly rather than mis-caching.
+    from worldrenderer_tpu.parallel import make_device_mesh
+
+    with pytest.raises(ValueError, match="auto"):
+        camera_projection(
+            frames, mesh, cam, device_mesh=make_device_mesh(axis_names=("uv",)),
+            **kw,
+        )

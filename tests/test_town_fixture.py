@@ -184,3 +184,61 @@ def test_town_fixture_bake_roundtrip(tmp_path):
     assert m.mean() > 0.02, m.mean()
     diff = np.abs(np.asarray(re.attr) - np.asarray(views.attr))[m]
     assert diff.mean() < 0.15, diff.mean()
+
+
+@pytest.mark.slow
+def test_project_render_cli_on_fixture(tmp_path):
+    """The main application CLI (reference pipeline.py / pipeline_opt.py)
+    driven end-to-end on the committed real-scene fixture: footage mp4 +
+    Blender-schema camera path -> keyframe selection -> native re-UV ->
+    texture bake -> trajectory re-render. pos_error_eps='auto' is the
+    load-bearing option: the scene keeps its ~15-world-unit scale."""
+    cv2 = pytest.importorskip("cv2")
+    from worldrenderer_tpu.pipelines.project_render import project_and_render
+
+    res_h, res_w = 120, 180
+    n_frames = 8
+    mesh = load_mesh(str(GLB), flip_uv=True)
+    cam, _, _ = load_camera_from_json(CAM_JSON, res_h, res_w)
+    sel = jax.tree_util.tree_map(lambda x: x[:n_frames], cam)
+    frames = np.asarray(
+        render(mesh, sel, res_h, res_w, render_attr=True,
+               attr_background=0.0).attr
+    )
+    video = tmp_path / "footage.mp4"
+    writer = cv2.VideoWriter(
+        str(video), cv2.VideoWriter_fourcc(*"mp4v"), 10, (res_w, res_h)
+    )
+    for f in frames:
+        writer.write(cv2.cvtColor(
+            (np.clip(f, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+        ))
+    writer.release()
+
+    out_dir = tmp_path / "out"
+    project_and_render(
+        mesh_path=GLB,
+        video_path=video,
+        output_dir=out_dir,
+        height=res_h, width=res_w,
+        uv_size=128,
+        max_frames=n_frames,
+        camera_json=CAM_JSON,
+        uv_unwarp=False,  # native re-UV covered by the roundtrip test
+        keyframe_selection=True,
+        keyframe_t_position=1.0, keyframe_t_rotation=8.0,
+        debug=True,
+        pos_error_eps="auto",
+    )
+    assert (out_dir / "rgb" / "rgb_00000.png").exists()
+    assert (out_dir / "mask" / "mask_00000.png").exists()
+    assert (out_dir / "debug" / "uv_proj.png").exists()
+    from PIL import Image
+
+    rgb = np.asarray(
+        Image.open(out_dir / "rgb" / "rgb_00000.png"), np.float32
+    ) / 255.0
+    mask = np.asarray(Image.open(out_dir / "mask" / "mask_00000.png")) > 0
+    assert mask.mean() > 0.2
+    err = np.abs(rgb - frames[0])[mask]
+    assert np.median(err) < 0.15, np.median(err)

@@ -112,10 +112,16 @@ def camera_projection(
     # reference's constant, uv.py:248-298, assumes its load-time
     # unit-cube normalization). For scenes kept at native scale (e.g. a
     # multi-meter town) size it to the view-pixel world footprint:
-    # ~ scene_depth * tan(fov/2) * 2 / view_height.
-    pos_error_eps: float = 1e-3,
+    # ~ scene_depth * tan(fov/2) * 2 / view_height — or pass "auto",
+    # which computes exactly that per view (1.5 x median foreground
+    # depth x 2 tan(fovy/2) / rows, a traced scalar), making validity
+    # SCALE-INVARIANT (tests assert a 10x-scaled scene bakes the
+    # identical mask). Eager path only; the sharded bake takes floats.
+    pos_error_eps=1e-3,
     depth_grad_dilation: int = 5,
-    depth_grad_threshold: float = 0.1,
+    # Like pos_error_eps: WORLD-unit bound (reference default 0.1 assumes
+    # unit-cube normalization); accepts "auto" for footprint scaling.
+    depth_grad_threshold=0.1,
     uv_exp_blend_alpha: float = 6,
     uv_exp_blend_view_weight: Optional[jnp.ndarray] = None,
     poisson_blending: bool = True,
@@ -155,6 +161,12 @@ def camera_projection(
                 "device_mesh bakes take pre-warped / pre-matted images: run "
                 "compute_warp_field / the bg remover on the views first "
                 "(both are view-space, orthogonal to texel sharding)"
+            )
+        if isinstance(pos_error_eps, str) or isinstance(depth_grad_threshold, str):
+            raise ValueError(
+                "'auto' validity bounds are eager-path only; compute the "
+                "footprint yourself (depth * 2 tan(fovy/2) / rows) and pass "
+                "floats to the sharded bake"
             )
         from ..parallel.bake import sharded_camera_projection
 
@@ -327,6 +339,33 @@ def camera_projection(
             images=images, masks=masks_pt, uv_render_geometry_output=geo,
             pack_mode=images_pack_mode,
         )
+    if isinstance(pos_error_eps, str) or isinstance(depth_grad_threshold, str):
+        # "auto": scale the WORLD-unit validity bounds to each view's
+        # pixel footprint (median foreground depth * 2 tan(fovy/2) /
+        # rows; background rides a far sentinel, hence the fg median).
+        # pos_error: 1.5 footprints — covers the depth-interpolation
+        # error of a correctly visible texel while still rejecting
+        # occlusion (a surface-to-surface gap, usually many footprints).
+        # depth_grad: 20 footprints — keeps steep-but-real slopes (up to
+        # ~tan^-1(20) from facing) and cuts true discontinuities. All
+        # traced ops — works under jit; a no-foreground view yields NaN
+        # -> comparisons False -> contributes no texels. This makes
+        # validity SCALE-INVARIANT (tested: a 10x-scaled scene bakes
+        # the identical mask).
+        for name, v in (("pos_error_eps", pos_error_eps),
+                        ("depth_grad_threshold", depth_grad_threshold)):
+            if isinstance(v, str) and v != "auto":
+                raise ValueError(f"{name}: float or 'auto', got {v!r}")
+        # tan(fovy/2) per view; |.| because this codebase's projection
+        # carries the negated-Y row (proj_mtx[1,1] < 0).
+        inv_f = 1.0 / jnp.abs(cam.proj_mtx[:, 1, 1])
+        depth_fg = jnp.where(geo.view_mask, geo.view_depth, jnp.nan)
+        med = jnp.nanmedian(depth_fg.reshape(depth_fg.shape[0], -1), axis=1)
+        footprint = (med * 2.0 * inv_f / height)[:, None, None]
+        if isinstance(pos_error_eps, str):
+            pos_error_eps = 1.5 * footprint  # broadcasts vs (Nv, Huv, Wuv)
+        if isinstance(depth_grad_threshold, str):
+            depth_grad_threshold = 20.0 * footprint
     blend = uv_blend(
         pre,
         geo,

@@ -67,6 +67,7 @@ def project_and_render(
     keyframe_t_rotation: float = 0.5,
     debug: bool = False,
     raster: str = "exact",
+    pos_error_eps=1e-3,
 ) -> None:
     """``raster='fast'`` auto-tunes the lossy fast-path binning budgets to
     this scene's cameras (ops.rasterize.auto_fast_config: exact span
@@ -144,6 +145,7 @@ def project_and_render(
             camera_projection_type="CUSTOM",
             cameras_override=cam,
             debug_mode=debug,
+            pos_error_eps=pos_error_eps,
         )
         mesh = load_mesh(
             tp_out.shaded_model_save_path or str(glb_path),
@@ -278,11 +280,18 @@ def parse_args(argv=None):
     )
     parser.add_argument("--keyframe-t-position", type=float, default=0.20)
     parser.add_argument("--keyframe-t-rotation", type=float, default=0.5)
+    parser.add_argument(
+        "--pos-error-eps", default="1e-3",
+        help="world-unit reprojection-validity bound, or 'auto' to scale "
+        "it to the view-pixel footprint (native-scale scenes)",
+    )
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
+    eps = args.pos_error_eps
+    eps = eps if eps == "auto" else float(eps)
     project_and_render(
         mesh_path=args.blend_path,
         video_path=args.video_path,
@@ -300,6 +309,7 @@ def main(argv=None):
         keyframe_selection=args.keyframes,
         keyframe_t_position=args.keyframe_t_position,
         keyframe_t_rotation=args.keyframe_t_rotation,
+        pos_error_eps=eps,
         debug=args.debug,
         raster=args.raster,
     )

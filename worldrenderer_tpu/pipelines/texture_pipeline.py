@@ -240,6 +240,10 @@ class TexturePipeline:
         view_inpaint_include_occlusion_boundary: bool = False,
         poisson_reprojection: bool = False,
         camera_projection_type: str = "ORTHO",  # "ORTHO" | "CUSTOM"
+        # WORLD-unit reprojection-validity bound forwarded to every
+        # camera_projection call; pass "auto" for native-scale (un-
+        # normalized) scenes — see baking.projection.camera_projection.
+        pos_error_eps=1e-3,
         custom_camera_json: Optional[str] = None,
         cameras_override: Optional[Camera] = None,
         camera_elevation_deg: List[float] = (0, 0, 0, 0, 89.99, -89.99),
@@ -364,6 +368,7 @@ class TexturePipeline:
                     uv_exp_blend_alpha=3,
                     uv_exp_blend_view_weight=jnp.ones(nv),
                     aoi_cos_valid_threshold=0.2,
+                    pos_error_eps=pos_error_eps,
                     uv_size=uv_size,
                     iou_rejection_threshold=None,
                     raster_config=self.raster_config,
@@ -386,6 +391,7 @@ class TexturePipeline:
                     uv_exp_blend_alpha=3,
                     uv_exp_blend_view_weight=jnp.ones(nv),
                     aoi_cos_valid_threshold=-1.0,
+                    pos_error_eps=pos_error_eps,
                     iou_rejection_threshold=None,
                     uv_size=uv_size,
                     uv_padding=not uv_inpaint_use_network,
