@@ -150,7 +150,7 @@ def _emit(metric, value, unit, baseline=None, spread=None, n=None, extra=None):
     return rec
 
 
-def _emit_rate(metric, work, timing, baseline=None, extra=None):
+def _emit_rate(metric, work, timing, baseline=None, extra=None, unit="views/s"):
     """Emit a work/secs rate from _time_scanned output ((samples, stamps)):
     median as the value, [min, max] as the spread, per-rep values +
     timestamps as provenance."""
@@ -161,7 +161,7 @@ def _emit_rate(metric, work, timing, baseline=None, extra=None):
     extra.setdefault("rep_values", per_rep)
     extra.setdefault("rep_ts", stamps)
     return _emit(
-        metric, float(np.median(vals)), "views/s", baseline,
+        metric, float(np.median(vals)), unit, baseline,
         spread=(vals[0], vals[-1]), n=len(vals), extra=extra,
     )
 
@@ -242,6 +242,43 @@ def _render_views_per_sec(
     timing = _time_scanned(bench_step, mesh, cam, n_batches=n_batches)
     return _emit_rate(
         metric, n_views * r_inner, timing, baseline, extra=extra_fields
+    )
+
+
+def _stress1m_scene():
+    """The 1M-triangle stress scene + its 6-view rig — ONE definition
+    shared by bench_stress1m and bench_secondary so the identically-named
+    raw-tinysort metric can never silently fork between runs."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+
+    n = 708  # (n-1)^2 * 2 = 999,698 triangles
+    verts, faces = make_grid_mesh(
+        n, extent=1.0,
+        height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
+    )
+    mesh = TexturedMesh(
+        v_pos=jnp.asarray(verts, jnp.float32),
+        t_pos_idx=jnp.asarray(faces, jnp.int32),
+    )
+    cam = get_camera(
+        elevation_deg=35.0, distance=3.0, fovy_deg=50.0,
+        num_views=N_VIEWS, near=0.1, far=10.0,
+    )
+    return mesh, cam
+
+
+def _stress1m_raw_metric():
+    """Raw 1M-tri exact-geometry render (no LOD substitution): the
+    sub-pixel two-sort tier on the REAL geometry."""
+    mesh, cam = _stress1m_scene()
+    _render_views_per_sec(
+        mesh, cam, HEIGHT, WIDTH, 4,
+        "stress1m_views_per_sec_raw_tinysort_999698tris",
+        render_attr=False, render_depth=False, render_normal=True,
+        raster_config=_fast_cfg()._replace(bin_tiny_px=1.0),
     )
 
 
@@ -327,11 +364,6 @@ def bench_secondary(deadline: float | None = None):
     to the round record). Each is guarded by the soft ``deadline`` (unix
     seconds) so a cold compile cache can't starve the whole capture — the
     headline line is already printed before this runs."""
-    import jax.numpy as jnp
-
-    from worldrenderer_tpu import get_camera
-    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
-
     def timed_out(label):
         if deadline is not None and time.time() > deadline:
             print(
@@ -343,27 +375,8 @@ def bench_secondary(deadline: float | None = None):
 
     if not timed_out("stress1m_raw"):
         # Raw 1M-tri exact-geometry render (the capability VERDICT r3
-        # ranks #1): sub-pixel two-sort tier, real geometry, no LOD
-        # substitution.
-        n = 708  # (n-1)^2 * 2 = 999,698 triangles
-        verts, faces = make_grid_mesh(
-            n, extent=1.0,
-            height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y),
-        )
-        mesh = TexturedMesh(
-            v_pos=jnp.asarray(verts, jnp.float32),
-            t_pos_idx=jnp.asarray(faces, jnp.int32),
-        )
-        cam = get_camera(
-            elevation_deg=35.0, distance=3.0, fovy_deg=50.0,
-            num_views=N_VIEWS, near=0.1, far=10.0,
-        )
-        _render_views_per_sec(
-            mesh, cam, HEIGHT, WIDTH, 4,
-            "stress1m_views_per_sec_raw_tinysort_999698tris",
-            render_attr=False, render_depth=False, render_normal=True,
-            raster_config=_fast_cfg()._replace(bin_tiny_px=1.0),
-        )
+        # ranks #1) — same scene/metric definition as bench_stress1m.
+        _stress1m_raw_metric()
 
     if not timed_out("config2"):
         bench_config2()
@@ -631,7 +644,7 @@ def bench_config5():
     timing = _time_scanned(sweep, v_pos_all, cam_all)
     _emit_rate(
         "c5_sweep_views_per_sec_per_chip_12pose_512",
-        n_meshes * n_poses, timing,
+        n_meshes * n_poses, timing, unit="views/s/chip",
     )
 
 
@@ -642,28 +655,14 @@ def bench_stress1m():
     ~150k tris bin per tile); the chain answers it the way the reference
     does (unconditional decimation, mesh_process.py:168-220) but per view.
     Also emits the chain-build time once."""
-    import jax.numpy as jnp
-
-    from worldrenderer_tpu import build_lod_chain, get_camera
-    from worldrenderer_tpu.mesh import TexturedMesh, make_grid_mesh
+    from worldrenderer_tpu import build_lod_chain
     from worldrenderer_tpu.ops.rasterize import auto_fast_config
     from worldrenderer_tpu.transforms import get_clip_space_position
 
-    n = 708  # (n-1)^2 * 2 = 999,698 triangles
-    verts, faces = make_grid_mesh(
-        n, extent=1.0, height_fn=lambda x, y: 0.3 * np.sin(3 * x) * np.cos(3 * y)
-    )
-    mesh = TexturedMesh(
-        v_pos=jnp.asarray(verts, jnp.float32),
-        t_pos_idx=jnp.asarray(faces, jnp.int32),
-    )
+    mesh, cam = _stress1m_scene()
     t0 = time.perf_counter()
     chain = build_lod_chain(mesh, factors=(1, 16, 64, 256))
     build_s = time.perf_counter() - t0
-    cam = get_camera(
-        elevation_deg=35.0, distance=3.0, fovy_deg=50.0,
-        num_views=N_VIEWS, near=0.1, far=10.0,
-    )
     level = chain.select(cam, HEIGHT, WIDTH, target_px_per_tri=2.0)
     lod = chain.levels[level]
     pos_clip = get_clip_space_position(lod.v_pos, cam.mvp_mtx)
@@ -675,16 +674,9 @@ def bench_stress1m():
         raster_config=cfg,
     )
     _emit("stress1m_lod_chain_build_sec", build_s, "s")
-    # RAW full-1M-triangle render (no LOD substitution): bin_tiny_px routes
-    # the ~90% sub-pixel triangles through the two-sort path instead of the
-    # O(T * tile_px) tile kernel — bit-exact vs the tile path (tested), so
-    # this metric renders the REAL geometry. 5.2 views/s without it.
-    _render_views_per_sec(
-        mesh, cam, HEIGHT, WIDTH, 4,
-        "stress1m_views_per_sec_raw_tinysort_999698tris",
-        render_attr=False, render_depth=False, render_normal=True,
-        raster_config=_fast_cfg()._replace(bin_tiny_px=1.0),
-    )
+    # RAW full-1M-triangle render (no LOD substitution) — shared metric
+    # definition (bin_tiny_px two-sort tier; 5.2 views/s without it).
+    _stress1m_raw_metric()
 
 
 def bench_projection():

@@ -78,7 +78,15 @@ def _validate_binning_budgets(
     if config.bin_mode != "sort_pairs":
         checks = []
     for name, pos, tri, resolution in checks:
-        stats = binning_stats(pos, tri, resolution, config)
+        if name == "UV-atlas rasterization" and config.backface_cull:
+            # uv_precompute rasterizes the atlas with the cull forced OFF
+            # (chart winding is not 3D facing); the guard must model the
+            # same triangle set or it would under-count live entries.
+            stats = binning_stats(
+                pos, tri, resolution, config._replace(backface_cull=0)
+            )
+        else:
+            stats = binning_stats(pos, tri, resolution, config)
         if not stats["ok"]:
             raise ValueError(
                 f"camera_projection: rasterizer binning budgets are lossy "
@@ -357,11 +365,17 @@ def camera_projection(
             if isinstance(v, str) and v != "auto":
                 raise ValueError(f"{name}: float or 'auto', got {v!r}")
         # tan(fovy/2) per view; |.| because this codebase's projection
-        # carries the negated-Y row (proj_mtx[1,1] < 0).
+        # carries the negated-Y row (proj_mtx[1,1] < 0). Orthographic
+        # views (proj[3,3] == 1, e.g. TexturePipeline's default ORTHO
+        # rig) have a depth-INDEPENDENT footprint of 2/(|p11| * rows) —
+        # scaling it by depth would loosen the bound ~depth-fold.
         inv_f = 1.0 / jnp.abs(cam.proj_mtx[:, 1, 1])
+        is_persp = jnp.abs(cam.proj_mtx[:, 3, 3]) < 0.5
         depth_fg = jnp.where(geo.view_mask, geo.view_depth, jnp.nan)
         med = jnp.nanmedian(depth_fg.reshape(depth_fg.shape[0], -1), axis=1)
-        footprint = (med * 2.0 * inv_f / height)[:, None, None]
+        footprint = (
+            jnp.where(is_persp, med, 1.0) * 2.0 * inv_f / height
+        )[:, None, None]
         if isinstance(pos_error_eps, str):
             pos_error_eps = 1.5 * footprint  # broadcasts vs (Nv, Huv, Wuv)
         if isinstance(depth_grad_threshold, str):

@@ -64,6 +64,13 @@ def uv_precompute(
 ) -> UVPrecomputeOutput:
     """Rasterize the mesh in UV space: UV coords as clip positions
     (reference uv.py:24-53) -> per-texel world position + chart mask."""
+    if raster_config.backface_cull:
+        # Backface culling is a 3D-facing concept; a UV chart's pixel-space
+        # winding is set by the unwrap (and UV charts never pass through
+        # the negated-Y projection), so a caller's watertight-scene cull
+        # flag would silently erase charts from the atlas here. The atlas
+        # pass always rasterizes both windings.
+        raster_config = raster_config._replace(backface_cull=0)
     uv_clip = mesh.v_tex * 2.0 - 1.0
     uv_clip4 = jnp.concatenate(
         [

@@ -262,6 +262,13 @@ def is_watertight(faces, n_vertices: int | None = None) -> bool:
     f = np.asarray(faces)
     if f.size == 0:
         return False
+    # Degenerate faces with a repeated vertex create self-loop directed
+    # edges (a -> a), which are their own reverse and would fool the
+    # pairing test below.
+    if (
+        (f[:, 0] == f[:, 1]) | (f[:, 1] == f[:, 2]) | (f[:, 0] == f[:, 2])
+    ).any():
+        return False
     # Directed edges (a -> b) per corner.
     a = f
     b = f[:, [1, 2, 0]]

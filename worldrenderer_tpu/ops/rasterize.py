@@ -1002,22 +1002,27 @@ def _bin_flat(
             # fusion.9); the column eval is bandwidth-cheap and the
             # booleans are IDENTICAL (same _dead_at math on the same
             # values), so this is bit-exact by construction.
-            deadbits = jnp.zeros((t_total,), jnp.int32)
+            # One int32 column holds 31 span slots; wider spans (the
+            # small-tier product is 4 by default but configurable) spill
+            # into further columns — 1 << 31 would overflow int32.
+            n_dead_cols = -(-(span_y_max * span_x_max) // 31)
+            deadbits = [
+                jnp.zeros((t_total,), jnp.int32) for _ in range(n_dead_cols)
+            ]
             bit = 0
             for sy in range(span_y_max):
                 for sx in range(span_x_max):
                     d = _dead_at(ty0 + sy, tx0 + sx)
-                    deadbits = deadbits | jnp.where(
-                        d, jnp.int32(1 << bit), jnp.int32(0)
+                    deadbits[bit // 31] = deadbits[bit // 31] | jnp.where(
+                        d, jnp.int32(1 << (bit % 31)), jnp.int32(0)
                     )
                     bit += 1
-            geo_cols.append(deadbits)
+            geo_cols.extend(deadbits)
         # One row gather for all per-triangle columns (the per-row latency
         # floor makes one wide gather beat N 1-column gathers; PERF.md §1).
         geo = jnp.stack(geo_cols, axis=1)[sid_c]
         sty0, stx0 = geo[:, 0], geo[:, 1]
         ssy, ssx = geo[:, 2], geo[:, 3]
-        sdead = geo[:, 4] if cm > 0.0 else None
         keys = []
         bit = 0
         for sy in range(span_y_max):
@@ -1025,7 +1030,8 @@ def _bin_flat(
                 tile = jnp.minimum((sty0 + sy) * n_tx + (stx0 + sx), n_tiles)
                 valid = slive & (sx < ssx) & (sy < ssy)
                 if cm > 0.0:
-                    valid = valid & (((sdead >> bit) & 1) == 0)
+                    sdead = geo[:, 4 + bit // 31]
+                    valid = valid & (((sdead >> (bit % 31)) & 1) == 0)
                 bit += 1
                 keys.append(
                     jnp.where(valid, tile * t_total + sid_c, sentinel)
