@@ -55,6 +55,9 @@ def test_is_watertight():
     _, gfaces = make_grid_mesh(8)
     assert not is_watertight(gfaces)
     assert not is_watertight(np.zeros((0, 3), np.int32))
+    # Degenerate face with a repeated vertex: its self-loop edge is its
+    # own reverse and must not fool the pairing test.
+    assert not is_watertight(np.array([[0, 0, 1]], np.int32))
 
 
 @pytest.mark.parametrize("backend", ["fused_xla", "fused_pallas"])
