@@ -520,11 +520,31 @@ def test_auto_validity_bounds_scale_invariant():
     )
     assert np.asarray(out.uv_proj_mask).mean() < 0.01
 
-    # Sharded path refuses 'auto' loudly rather than mis-caching.
+    # The texel-sharded bake resolves 'auto' INSIDE the sharded program
+    # (from the replicated view render) — same bounds, same mask, same
+    # texture as the eager path, at native (10x) scale where the absolute
+    # defaults reject everything (VERDICT r4 item 4).
     from worldrenderer_tpu.parallel import make_device_mesh
 
-    with pytest.raises(ValueError, match="auto"):
+    eager = camera_projection(frames, mesh, cam, **kw)
+    sharded = camera_projection(
+        frames, mesh, cam, device_mesh=make_device_mesh(axis_names=("uv",)),
+        **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded.uv_proj_mask), np.asarray(eager.uv_proj_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.uv_proj), np.asarray(eager.uv_proj), atol=1e-5
+    )
+    assert np.asarray(sharded.uv_proj_mask).mean() > 0.2
+
+    # Anything that is neither float nor 'auto' (e.g. a per-view array)
+    # fails loudly BEFORE reaching the lru_cache'd builder.
+    with pytest.raises(ValueError, match="pos_error_eps"):
         camera_projection(
-            frames, mesh, cam, device_mesh=make_device_mesh(axis_names=("uv",)),
-            **kw,
+            frames, mesh, cam,
+            device_mesh=make_device_mesh(axis_names=("uv",)),
+            uv_size=64, poisson_blending=False, iou_rejection_threshold=None,
+            pos_error_eps=jnp.ones((4, 1, 1)),
         )

@@ -61,6 +61,62 @@ def test_load_mesh_from_glb(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(mesh.v_tex)[:, 1], 1.0 - uv[:, 1], atol=1e-6)
 
 
+def test_glb_default_white_materials_get_atlas_cells(tmp_path):
+    """Materials with neither baseColorTexture nor baseColorFactor default
+    to white per the glTF spec, and material-less primitives render as the
+    default (white) material — in a multi-material strip atlas BOTH must
+    get a dedicated white cell with their UVs remapped into it, or they'd
+    sample arbitrary texels from other materials' cells (ADVICE r4 #1)."""
+    from worldrenderer_tpu.scene.gltf import (
+        _build_glb, parse_glb, save_glb_scene,
+    )
+
+    quad_v = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], np.float32
+    )
+    quad_f = np.array([[0, 1, 2], [0, 2, 3]], np.uint32)
+    quad_uv = quad_v[:, :2].astype(np.float32)
+    red = np.zeros((8, 8, 3), np.float32)
+    red[..., 0] = 1.0
+    prims = [
+        {"vertices": quad_v, "faces": quad_f, "uv": quad_uv, "texture": red},
+        # Neither texture nor base_color -> material with EMPTY
+        # pbrMetallicRoughness (spec default = white).
+        {"vertices": quad_v + [2, 0, 0], "faces": quad_f, "uv": quad_uv},
+        {"vertices": quad_v + [4, 0, 0], "faces": quad_f, "uv": quad_uv},
+    ]
+    p = tmp_path / "m.glb"
+    save_glb_scene(p, prims)
+    # Strip the third primitive's material reference entirely
+    # (material-less primitive — glTF default material).
+    scene = parse_glb(p)
+    del scene.gltf["meshes"][0]["primitives"][2]["material"]
+    p2 = tmp_path / "m2.glb"
+    p2.write_bytes(_build_glb(scene.gltf, scene.blob))
+
+    out = load_glb(p2)
+    tex = out["texture"]
+    uv = out["uv"]
+    assert tex is not None and uv is not None
+    ncols = 3  # red + default-white material + material-less white cell
+    assert tex.shape[1] == ncols * tex.shape[0]  # one-row strip of square cells
+
+    # Every primitive's UVs land in a distinct cell.
+    cells = [
+        set(np.floor(uv[4 * k:4 * (k + 1), 0] * ncols).clip(0, ncols - 1)
+            .astype(int).tolist())
+        for k in range(3)
+    ]
+    assert all(len(c) == 1 for c in cells), cells
+    assert len({next(iter(c)) for c in cells}) == 3, cells
+    # Sampling the cell centers: red for prim 0, white for prims 1 and 2.
+    cw = tex.shape[1] // ncols
+    for k, expect in [(0, [1, 0, 0]), (1, [1, 1, 1]), (2, [1, 1, 1])]:
+        cell = next(iter(cells[k]))
+        texel = tex[tex.shape[0] // 2, cell * cw + cw // 2]
+        np.testing.assert_allclose(texel, expect, atol=1 / 255.0)
+
+
 def test_camera_json_roundtrip(tmp_path):
     cam = build_camera(4, 256, 256)
     p = tmp_path / "cam.json"

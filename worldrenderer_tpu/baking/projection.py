@@ -32,6 +32,16 @@ from .uv import (
 
 __all__ = ["CameraProjection", "CameraProjectionOutput", "camera_projection"]
 
+# 'auto' validity bounds in units of the per-view pixel footprint
+# (_auto_footprint). pos_error: 1.5 footprints — covers the depth-
+# interpolation error of a correctly visible texel while still rejecting
+# occlusion (a surface-to-surface gap, usually many footprints).
+# depth_grad: 20 footprints — keeps steep-but-real slopes (up to
+# ~tan^-1(20) from facing) and cuts true discontinuities. Shared with the
+# sharded bake (parallel/bake.py) so both paths resolve identically.
+_AUTO_POS_EPS_FOOTPRINTS = 1.5
+_AUTO_DEPTH_GRAD_FOOTPRINTS = 20.0
+
 
 class CameraProjectionOutput(NamedTuple):
     uv_proj: Optional[jnp.ndarray]
@@ -52,11 +62,15 @@ def _validate_binning_budgets(
     drop triangles for THIS scene — in either of the projection's two
     rasterizations (view-space render of t_pos_idx; UV-atlas rasterization
     of t_tex_idx). binning_stats is exact and cheap (no rasterization)."""
+    # Each check carries a structured is_uv_atlas flag (NOT derived from the
+    # display name: a drifting label must not silently change which checks
+    # model the cull-forced-off atlas triangle set).
     checks = []
     if mesh.t_pos_idx.shape[0] >= config.bin_sort_pairs_min_tris:
         pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
         checks.append(
-            ("view-space render", pos_clip, mesh.t_pos_idx, (height, width))
+            ("view-space render", pos_clip, mesh.t_pos_idx, (height, width),
+             False)
         )
     if (
         mesh.v_tex is not None
@@ -73,12 +87,12 @@ def _validate_binning_budgets(
         )[None]
         checks.append(
             ("UV-atlas rasterization", uv_clip4, mesh.t_tex_idx,
-             (uv_size, uv_size))
+             (uv_size, uv_size), True)
         )
     if config.bin_mode != "sort_pairs":
         checks = []
-    for name, pos, tri, resolution in checks:
-        if name == "UV-atlas rasterization" and config.backface_cull:
+    for name, pos, tri, resolution, is_uv_atlas in checks:
+        if is_uv_atlas and config.backface_cull:
             # uv_precompute rasterizes the atlas with the cull forced OFF
             # (chart winding is not 3D facing); the guard must model the
             # same triangle set or it would under-count live entries.
@@ -96,6 +110,43 @@ def _validate_binning_budgets(
                 f"live_entries) in the RasterizerConfig, or pass "
                 f"validate_binning=False to accept dropped triangles."
             )
+
+
+def _auto_footprint(cam: Camera, view_mask, view_depth, height: int):
+    """Per-view world-space pixel footprint, (Nv, 1, 1) — the scale factor
+    behind the 'auto' validity bounds (median foreground depth *
+    2 tan(fovy/2) / rows; background rides a far sentinel, hence the fg
+    median). tan(fovy/2) = 1/|p11| (|.| because this codebase's projection
+    carries the negated-Y row). Orthographic views (proj[3,3] == 1, e.g.
+    TexturePipeline's default ORTHO rig) have a depth-INDEPENDENT footprint
+    of 2/(|p11| * rows) — scaling it by depth would loosen the bound
+    ~depth-fold. All traced ops (works under jit / inside shard_map); a
+    no-foreground view yields NaN -> validity comparisons False -> that
+    view contributes no texels."""
+    inv_f = 1.0 / jnp.abs(cam.proj_mtx[:, 1, 1])
+    is_persp = jnp.abs(cam.proj_mtx[:, 3, 3]) < 0.5
+    depth_fg = jnp.where(view_mask, view_depth, jnp.nan)
+    med = jnp.nanmedian(depth_fg.reshape(depth_fg.shape[0], -1), axis=1)
+    return (jnp.where(is_persp, med, 1.0) * 2.0 * inv_f / height)[:, None, None]
+
+
+def _check_validity_bound(name: str, v):
+    """Normalize a validity bound to 'auto' or a plain Python float, with a
+    descriptive error for everything else (a jnp array would otherwise die
+    inside the lru_cache'd sharded-bake builder as an opaque
+    unhashable-type error)."""
+    if isinstance(v, str):
+        if v != "auto":
+            raise ValueError(f"{name}: float or 'auto', got {v!r}")
+        return v
+    try:
+        return float(v)
+    except (TypeError, ValueError) as e:
+        raise ValueError(
+            f"{name}: float or 'auto', got {type(v).__name__} ({v!r}) — "
+            f"per-view arrays are not supported on the sharded bake; pass "
+            f"'auto' to get per-view footprint scaling"
+        ) from e
 
 
 def camera_projection(
@@ -124,7 +175,8 @@ def camera_projection(
     # which computes exactly that per view (1.5 x median foreground
     # depth x 2 tan(fovy/2) / rows, a traced scalar), making validity
     # SCALE-INVARIANT (tests assert a 10x-scaled scene bakes the
-    # identical mask). Eager path only; the sharded bake takes floats.
+    # identical mask). Works on both the eager and the sharded
+    # (device_mesh) paths.
     pos_error_eps=1e-3,
     depth_grad_dilation: int = 5,
     # Like pos_error_eps: WORLD-unit bound (reference default 0.1 assumes
@@ -170,12 +222,13 @@ def camera_projection(
                 "compute_warp_field / the bg remover on the views first "
                 "(both are view-space, orthogonal to texel sharding)"
             )
-        if isinstance(pos_error_eps, str) or isinstance(depth_grad_threshold, str):
-            raise ValueError(
-                "'auto' validity bounds are eager-path only; compute the "
-                "footprint yourself (depth * 2 tan(fovy/2) / rows) and pass "
-                "floats to the sharded bake"
-            )
+        # 'auto' or plain floats only (the sharded builder caches on these;
+        # 'auto' resolves to the per-view footprint INSIDE the sharded
+        # program, bit-identical to the eager path's resolution).
+        pos_error_eps = _check_validity_bound("pos_error_eps", pos_error_eps)
+        depth_grad_threshold = _check_validity_bound(
+            "depth_grad_threshold", depth_grad_threshold
+        )
         from ..parallel.bake import sharded_camera_projection
 
         return sharded_camera_projection(
@@ -364,22 +417,12 @@ def camera_projection(
                         ("depth_grad_threshold", depth_grad_threshold)):
             if isinstance(v, str) and v != "auto":
                 raise ValueError(f"{name}: float or 'auto', got {v!r}")
-        # tan(fovy/2) per view; |.| because this codebase's projection
-        # carries the negated-Y row (proj_mtx[1,1] < 0). Orthographic
-        # views (proj[3,3] == 1, e.g. TexturePipeline's default ORTHO
-        # rig) have a depth-INDEPENDENT footprint of 2/(|p11| * rows) —
-        # scaling it by depth would loosen the bound ~depth-fold.
-        inv_f = 1.0 / jnp.abs(cam.proj_mtx[:, 1, 1])
-        is_persp = jnp.abs(cam.proj_mtx[:, 3, 3]) < 0.5
-        depth_fg = jnp.where(geo.view_mask, geo.view_depth, jnp.nan)
-        med = jnp.nanmedian(depth_fg.reshape(depth_fg.shape[0], -1), axis=1)
-        footprint = (
-            jnp.where(is_persp, med, 1.0) * 2.0 * inv_f / height
-        )[:, None, None]
+        footprint = _auto_footprint(cam, geo.view_mask, geo.view_depth, height)
         if isinstance(pos_error_eps, str):
-            pos_error_eps = 1.5 * footprint  # broadcasts vs (Nv, Huv, Wuv)
+            # broadcasts vs (Nv, Huv, Wuv)
+            pos_error_eps = _AUTO_POS_EPS_FOOTPRINTS * footprint
         if isinstance(depth_grad_threshold, str):
-            depth_grad_threshold = 20.0 * footprint
+            depth_grad_threshold = _AUTO_DEPTH_GRAD_FOOTPRINTS * footprint
     blend = uv_blend(
         pre,
         geo,

@@ -56,7 +56,12 @@ except ImportError:  # pragma: no cover - older jax
             check_rep=False,
         )
 
-from ..baking.projection import CameraProjectionOutput, _validate_binning_budgets
+from ..baking.projection import (
+    CameraProjectionOutput,
+    _auto_footprint,
+    _check_validity_bound,
+    _validate_binning_budgets,
+)
 from ..baking.uv import (
     ExponentialBlend,
     SimpleUVValidityStrategy,
@@ -92,9 +97,14 @@ def sharded_camera_projection(
     uv_size: int = 2048,
     iou_rejection_threshold: Optional[float] = 0.8,
     aoi_cos_valid_threshold: float = 0.3,
-    pos_error_eps: float = 1e-3,
+    # Both validity bounds accept "auto" exactly like camera_projection:
+    # the per-view footprint resolves INSIDE the sharded program from the
+    # replicated view render (identical values on every chip — no
+    # collective), so sharded-vs-single bakes stay bit-identical under
+    # scale-invariant validity too.
+    pos_error_eps=1e-3,
     depth_grad_dilation: int = 5,
-    depth_grad_threshold: float = 0.1,
+    depth_grad_threshold=0.1,
     uv_exp_blend_alpha: float = 6,
     uv_exp_blend_view_weight=None,
     poisson_blending: bool = True,
@@ -202,6 +212,14 @@ def sharded_camera_projection(
                 )
             return None
 
+    # 'auto' or plain floats — a jnp array would die in the lru_cache'd
+    # builder as an opaque unhashable-type error (direct callers may skip
+    # camera_projection's identical normalization).
+    pos_error_eps = _check_validity_bound("pos_error_eps", pos_error_eps)
+    depth_grad_threshold = _check_validity_bound(
+        "depth_grad_threshold", depth_grad_threshold
+    )
+
     bake = _build_bake(
         device_mesh, axis_name, uv_size, height, width, n_ch,
         masks_pt is not None, uv_exp_blend_view_weight is not None,
@@ -242,11 +260,17 @@ def _build_bake(
     repeated bakes with the same config hit the jit cache instead of
     retracing (a per-call closure would recompile every bake)."""
     del has_masks, has_view_weight  # only part of the cache key
-    validity = SimpleUVValidityStrategy(
-        pos_error_eps=pos_error_eps,
-        aoi_cos_thresh=aoi_cos_valid_threshold,
-        depth_grad_thresh=depth_grad_threshold,
+    # 'auto' bounds resolve per-call inside band_fn (they need the view
+    # render's depth); plain floats build the strategy once here.
+    auto_validity = isinstance(pos_error_eps, str) or isinstance(
+        depth_grad_threshold, str
     )
+    if not auto_validity:
+        validity = SimpleUVValidityStrategy(
+            pos_error_eps=pos_error_eps,
+            aoi_cos_thresh=aoi_cos_valid_threshold,
+            depth_grad_thresh=depth_grad_threshold,
+        )
 
     def band_fn(images_r, masks_r, mesh_r, cam_r, view_weight_r, uv_attr_b,
                 uv_mask_b, uv_pos_b):
@@ -263,6 +287,33 @@ def _build_bake(
             depth_grad_dilation=depth_grad_dilation,
             raster_config=raster_config,
         )
+        if auto_validity:
+            # Same resolution as camera_projection's eager path (same
+            # multipliers, same footprint math — _AUTO_* constants in
+            # baking/projection.py), computed from the REPLICATED view
+            # render: identical on every chip, no collective, and the
+            # (Nv, 1, 1) bounds broadcast over each texel band/chunk.
+            from ..baking.projection import (
+                _AUTO_DEPTH_GRAD_FOOTPRINTS, _AUTO_POS_EPS_FOOTPRINTS,
+            )
+
+            footprint = _auto_footprint(
+                cam_r, view_geo.view_mask, view_geo.view_depth, height
+            )
+            band_validity = SimpleUVValidityStrategy(
+                pos_error_eps=(
+                    _AUTO_POS_EPS_FOOTPRINTS * footprint
+                    if isinstance(pos_error_eps, str) else pos_error_eps
+                ),
+                aoi_cos_thresh=aoi_cos_valid_threshold,
+                depth_grad_thresh=(
+                    _AUTO_DEPTH_GRAD_FOOTPRINTS * footprint
+                    if isinstance(depth_grad_threshold, str)
+                    else depth_grad_threshold
+                ),
+            )
+        else:
+            band_validity = validity
         weights = ExponentialBlend(
             alpha=uv_exp_blend_alpha, view_weight=view_weight_r
         )
@@ -284,7 +335,7 @@ def _build_bake(
                 uv_render_geometry_output=geo,
                 pack_mode=images_pack_mode,
             )
-            out = uv_blend_sum(pre_c, geo, attr, validity, weights)
+            out = uv_blend_sum(pre_c, geo, attr, band_validity, weights)
             return (
                 out.uv_attr_blend,
                 out.uv_valid_mask_blend,

@@ -225,7 +225,8 @@ def load_glb(path):
     remap, so REPEAT-wrap tiling beyond the unit square is not preserved
     (a per-cell limitation of any atlas; bake pipelines regenerate UVs
     anyway). Untextured materials contribute a constant baseColorFactor
-    cell."""
+    cell (spec-default white when the factor is absent); material-less
+    primitives get a white cell too — the glTF default material."""
     scene = parse_glb(path)
     gltf = scene.gltf
     world = _node_world_transforms(gltf)
@@ -280,8 +281,10 @@ def load_glb(path):
 
     # ---- material resolution: one texture (or factor cell) per material.
     def _mat_image(mi):
-        if mi is None:
-            return None
+        """Image for a material, or None when it carries neither a
+        baseColorTexture nor an explicit baseColorFactor (spec default =
+        white — resolved below, where it matters whether ANY material has
+        real content)."""
         mat = gltf["materials"][mi]
         pbr = mat.get("pbrMetallicRoughness", {})
         bct = pbr.get("baseColorTexture")
@@ -299,13 +302,29 @@ def load_glb(path):
 
     used_mats = sorted({m for m in prim_mat if m is not None})
     images = {m: _mat_image(m) for m in used_mats}
-    textured = [m for m in used_mats if images[m] is not None]
+    explicit = [m for m in used_mats if images[m] is not None]
+    has_matless_prims = any(m is None for m in prim_mat)
 
     texture = None
     uv = np.concatenate(uv_all, axis=0) if has_uv and uv_all else None
-    if len(textured) == 1 and len(used_mats) == 1:
-        # Exactly one material with one texture: keep both untouched (a
-        # 1-cell "atlas" would only add a clamp + half-texel inset).
+    textured = []
+    if explicit:
+        # Every material gets an atlas cell once ANY material has real
+        # content: per the glTF spec an absent baseColorFactor defaults to
+        # [1,1,1,1], so default-white materials — and material-less
+        # primitives (keyed None) — get a white cell, NOT "no cell"
+        # (un-remapped UVs would sample arbitrary texels from other
+        # materials' cells).
+        textured = list(used_mats)
+        for m in used_mats:
+            if images[m] is None:
+                images[m] = np.ones((4, 4, 3), np.float32)
+        if has_matless_prims:
+            images[None] = np.ones((4, 4, 3), np.float32)
+            textured.append(None)
+    if len(textured) == 1 and not has_matless_prims:
+        # Exactly one material: keep texture + UVs untouched (a 1-cell
+        # "atlas" would only add a clamp + half-texel inset).
         texture = images[textured[0]]
     elif len(textured) >= 1:
         # Strip atlas: all cells in ONE horizontal row (cell = the largest
