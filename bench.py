@@ -478,7 +478,61 @@ def bench_headline():
         for line in gate["scenes"] + probes["probes"]:
             print(line, file=sys.stderr)
         sys.exit(1)
+
+    # Roofline figures for the kernel on THIS headline (VERDICT r4 item 3;
+    # derivation in docs/PERF.md §10): one short profiler trace + the
+    # exact _bin_flat work counts. Never allowed to sink the headline.
+    try:
+        import os
+
+        if os.environ.get("WR_BENCH_MFU", "1") != "0":
+            rec.update(_headline_kernel_mfu(mesh, cam, cfg))
+            # keep the record the driver parses identical to what we
+            # printed first, plus the roofline fields.
+    except Exception as e:  # pragma: no cover - trace-format drift etc.
+        print(f"kernel_mfu skipped: {e!r}", file=sys.stderr)
     return rec
+
+
+def _headline_kernel_mfu(mesh, cam, cfg):
+    """kernel_mfu / mxu_occupancy / floor_ratio for the headline workload
+    (see utils/roofline.py for the three definitions)."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu.mesh import with_normals
+    from worldrenderer_tpu.render import render
+    from worldrenderer_tpu.transforms import get_clip_space_position
+    from worldrenderer_tpu.utils.roofline import (
+        kernel_counts, measure_kernel_mfu,
+    )
+
+    mesh = with_normals(mesh)
+    pos_clip = get_clip_space_position(mesh.v_pos, cam.mvp_mtx)
+    counts = kernel_counts(pos_clip, mesh.t_pos_idx, (HEIGHT, WIDTH), cfg)
+
+    @jax.jit
+    def frame(mesh, cam, seed):
+        out = render(
+            mesh, cam._replace(mvp_mtx=cam.mvp_mtx + seed * 1e-6),
+            HEIGHT, WIDTH, render_attr=False, render_depth=False,
+            render_normal=True, raster_config=cfg,
+        )
+        return jnp.sum(out.mask) + jnp.sum(jnp.abs(out.normal))
+
+    stats = measure_kernel_mfu(
+        lambda i: frame(mesh, cam, jnp.float32(i)), counts
+    )
+    if stats is None:
+        return {}
+    return {
+        "kernel_ms_per_frame": round(stats["kernel_ms_per_frame"], 3),
+        "kernel_mfu": round(stats["mfu_useful"], 5),
+        "kernel_mxu_occupancy": round(stats["mxu_occupancy"], 3),
+        "kernel_floor_ratio": round(stats["floor_ratio"], 3),
+    }
 
 
 def bench_secondary(deadline: float | None = None):
