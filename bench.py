@@ -1099,15 +1099,20 @@ def main():
         # the tail above it carries the secondaries — VERDICT r3 item 3).
         import os
 
-        t0 = time.time()
         rec = bench_headline()
         if os.environ.get("WR_BENCH_SECONDARY", "1") != "0":
-            # Soft budget for the secondaries, from process start: a warm
-            # compile cache runs each in ~1 min; a cold cache (compile-
-            # server congestion can mean 20+ min for the headline alone)
-            # skips them rather than risking the driver's window — the
-            # headline line is already out either way.
-            deadline = t0 + float(os.environ.get("WR_BENCH_DEADLINE", "1500"))
+            # Soft budget for the secondaries, from HEADLINE COMPLETION
+            # (not process start: cold compiles, the precision/probe
+            # gates, a drift-retry window and the MFU trace can stretch
+            # the headline past any fixed budget — measured 28 min once —
+            # and must not starve the secondaries that come after it; the
+            # deadline's job is only to bound the tail). A warm cache
+            # runs each secondary in ~1-3 min; a cold cache skips the
+            # rest of the tail rather than risking the driver's window —
+            # the headline line is already out either way.
+            deadline = time.time() + float(
+                os.environ.get("WR_BENCH_DEADLINE", "1500")
+            )
             try:
                 bench_secondary(deadline)
             except Exception as e:  # secondary failure must not eat the headline
