@@ -497,8 +497,6 @@ def bench_headline():
 def _headline_kernel_mfu(mesh, cam, cfg):
     """kernel_mfu / mxu_occupancy / floor_ratio for the headline workload
     (see utils/roofline.py for the three definitions)."""
-    import functools as _ft
-
     import jax
     import jax.numpy as jnp
 

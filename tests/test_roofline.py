@@ -10,7 +10,7 @@ import numpy as np
 
 from worldrenderer_tpu.utils.roofline import (
     _FLOPS_PER_PASS,
-    _PASSES_PER_CHUNK,
+    _passes_per_chunk,
     exclusive_times,
     kernel_counts,
     kernel_flops,
@@ -74,6 +74,9 @@ def test_kernel_counts_and_flops():
 
     useful, issued = kernel_flops(counts)
     assert useful == counts["live_entries"] * counts["pixels_per_tile"] * 16
-    assert issued == counts["chunk_trips"] * _PASSES_PER_CHUNK * _FLOPS_PER_PASS
+    passes = _passes_per_chunk(cfg.chunk, counts["pixels_per_tile"])
+    assert issued == counts["chunk_trips"] * passes * _FLOPS_PER_PASS
+    # The §8 ledger figure at the default shape.
+    assert _passes_per_chunk(128, 2048) == 80
     # The pass model always dominates the useful count (padding).
     assert issued > useful

@@ -83,6 +83,47 @@ def test_town_fixture_renders():
     assert a[fg].std() > 0.1
 
 
+def test_town_fixture_backface_cull_invariance():
+    """The driver's town bench metric renders with backface_cull=-1
+    (bench.py bench_town). The fixture is NOT watertight (open parts),
+    so the documented opt-in contract rests on an empirical property:
+    along the committed camera path no open part is ever seen from
+    behind. Pin it — anyone regenerating the fixture with a back-visible
+    open part (a billboard, an inverted roof) must fail HERE, not
+    silently corrupt the every-round driver number. Budget: mask
+    identical; id flips (shared-edge silhouette ties) under 0.05% of
+    common foreground; z close elsewhere."""
+    import functools
+
+    from worldrenderer_tpu.ops.gbuffer import rasterize_gbuffer
+    from worldrenderer_tpu.ops.rasterize import auto_fast_config
+    from worldrenderer_tpu.transforms import get_clip_space_position
+
+    res_h, res_w = 120, 180
+    mesh = load_mesh(str(GLB), flip_uv=True)
+    cam, _, _ = load_camera_from_json(CAM_JSON, res_h, res_w)
+    sel = jax.tree_util.tree_map(lambda x: x[::20], cam)  # 5 frames
+    pos_clip = get_clip_space_position(mesh.v_pos, sel.mvp_mtx)
+    outs = {}
+    for bf in (0, -1):
+        cfg = auto_fast_config(
+            pos_clip, mesh.t_pos_idx, (res_h, res_w), backface_cull=bf
+        )
+        outs[bf] = jax.jit(functools.partial(
+            rasterize_gbuffer, resolution=(res_h, res_w),
+            config=cfg._replace(dot_precision="highest"),
+        ))(pos_clip, mesh.t_pos_idx, None)
+    a, b = outs[0], outs[-1]
+    assert int((a.mask != b.mask).sum()) == 0, "cull changed coverage"
+    both = np.asarray(a.mask & b.mask)
+    flips = int(((np.asarray(a.tri_id) != np.asarray(b.tri_id)) & both).sum())
+    fg = int(both.sum())
+    assert flips <= max(16, fg // 2000), (flips, fg)
+    same = both & (np.asarray(a.tri_id) == np.asarray(b.tri_id))
+    zdiff = np.abs(np.asarray(a.z) - np.asarray(b.z))[same]
+    assert zdiff.max() < 1e-5, zdiff.max()
+
+
 @pytest.mark.slow
 def test_town_fixture_bake_roundtrip(tmp_path):
     """The full pipeline loop on the fixture: keyframe-extract views from

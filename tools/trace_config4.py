@@ -13,61 +13,17 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/trace_config4.py
 from __future__ import annotations
 
 import argparse
-import collections
 import glob
-import gzip
-import json
 import time
 
 import numpy as np
 
 
-def exclusive_times(trace_path):
-    """Per-op exclusive device time from a tensorboard trace.json.gz.
-
-    Returns {op_name: seconds} summed over device-track events, where each
-    event's exclusive time is its duration minus its direct children's
-    (classic stack sweep per (pid, tid) lane).
-    """
-    with gzip.open(trace_path, "rt") as f:
-        data = json.load(f)
-    events = data.get("traceEvents", [])
-    pid_names = {}
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pid_names[e.get("pid")] = e.get("args", {}).get("name", "")
-    device_pids = {
-        pid for pid, name in pid_names.items()
-        if "TPU" in name or "/device:" in name.lower() or "Device" in name
-    }
-    lanes = collections.defaultdict(list)
-    for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        if device_pids and e.get("pid") not in device_pids:
-            continue
-        lanes[(e.get("pid"), e.get("tid"))].append(e)
-
-    excl = collections.Counter()
-    for lane in lanes.values():
-        lane.sort(key=lambda e: (e["ts"], -e["dur"]))
-        stack = []  # (end_ts, event) — event carries a _children accumulator
-        for e in lane:
-            ts, dur = e["ts"], e["dur"]
-            e["_children"] = 0.0
-            while stack and stack[-1][0] <= ts:
-                _, node = stack.pop()
-                excl[node.get("name", "?")] += (
-                    node["dur"] - node["_children"]
-                ) / 1e6
-            if stack:
-                stack[-1][1]["_children"] += dur
-            stack.append((ts + dur, e))
-        while stack:
-            _, node = stack.pop()
-            excl[node.get("name", "?")] += (node["dur"] - node["_children"]) / 1e6
-    return excl
-
+# Canonical parser lives in the package (worldrenderer_tpu/utils/roofline.py
+# — it also backs the bench's kernel_mfu fields); re-exported here so the
+# other trace tools' `from trace_config4 import exclusive_times` keeps
+# working without a second copy that could drift.
+from worldrenderer_tpu.utils.roofline import exclusive_times  # noqa: F401
 
 def main():
     ap = argparse.ArgumentParser()

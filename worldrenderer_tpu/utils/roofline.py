@@ -30,7 +30,7 @@ import collections
 import glob
 import gzip
 import json
-import time
+import tempfile
 
 import numpy as np
 
@@ -46,14 +46,20 @@ __all__ = [
 V5E_PEAK_BF16_FLOPS = 197e12  # public v5e spec, dense bf16
 V5E_HBM_BYTES_PER_S = 819e9  # public v5e spec
 
-# MXU 128x128 output tiles issued per kernel chunk trip (c=128, P=2048;
-# PERF.md §8 "updated light-speed ledger"): coverage dot 64 (A is
-# (4c, 8) hi/lo-merged plane rows, B (8, P) -> (4c, P) = 4 * 16 tiles),
-# select dot 16 ((s<=128, P) stacked hi/lo rows).
-_PASSES_PER_CHUNK = 80
 _FLOPS_PER_PASS = 2 * 128**3  # one padded 128-deep MXU output tile
 # Useful FLOPs per live (entry, pixel): 4 planes x (2 mul + 2 add).
 _USEFUL_FLOPS_PER_ENTRY_PIXEL = 16
+
+
+def _passes_per_chunk(chunk, pixels_per_tile):
+    """MXU 128x128 output tiles issued per kernel chunk trip (PERF.md §8
+    "updated light-speed ledger"): coverage dot (4c, P) -> ceil(4c/128) *
+    ceil(P/128) tiles (A is (4c, 8) hi/lo-merged plane rows, B (8, P)),
+    select dot (s<=128 stacked hi/lo rows, P) -> 1 * ceil(P/128) tiles.
+    = 80 at the default c=128, P=2048."""
+    col_tiles = -(-pixels_per_tile // 128)
+    cov_row_tiles = -(-4 * chunk // 128)
+    return (cov_row_tiles + 1) * col_tiles
 
 
 def exclusive_times(trace_path):
@@ -141,12 +147,16 @@ def kernel_flops(counts):
         counts["live_entries"] * counts["pixels_per_tile"]
         * _USEFUL_FLOPS_PER_ENTRY_PIXEL
     )
-    issued = counts["chunk_trips"] * _PASSES_PER_CHUNK * _FLOPS_PER_PASS
+    issued = (
+        counts["chunk_trips"]
+        * _passes_per_chunk(counts["chunk"], counts["pixels_per_tile"])
+        * _FLOPS_PER_PASS
+    )
     return useful, issued
 
 
 def measure_kernel_mfu(
-    frame_fn, counts, n_frames=8, logdir="/tmp/wr_mfu_trace",
+    frame_fn, counts, n_frames=8, logdir=None,
     kernel_substrings=("gbuffer_tiles", "zattr_tiles"),
 ):
     """Trace ``float(frame_fn(i))`` for ``n_frames`` iterations, pull the
@@ -157,6 +167,11 @@ def measure_kernel_mfu(
     no kernel op shows in the trace (e.g. CPU backend)."""
     import jax
 
+    if logdir is None:
+        # Fresh dir per run: a reused path would glob a PREVIOUS run's
+        # trace if this one fails to be written, silently reporting
+        # stale kernel timings into the driver record.
+        logdir = tempfile.mkdtemp(prefix="wr_mfu_trace_")
     float(frame_fn(0))  # ensure compiled before the traced window
     with jax.profiler.trace(logdir):
         for i in range(n_frames):
