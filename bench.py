@@ -401,6 +401,11 @@ def bench_town():
         render_attr=True, render_depth=True, render_normal=True,
         attr_background=0.7,
         raster_config=_fast_cfg()._replace(backface_cull=-1),
+        # NOT texture_pack_mode='u8': measured interleaved on-chip at
+        # 0.88-0.92x on this scene (0/3 pairs) — the 256x768 strip atlas
+        # gather already runs at coherent-row speed (~2 ns/row,
+        # tools/trace_town.py), so packing's byte-unpack overhead loses;
+        # render's auto pack carries the same >=512^2-texel size gate.
     )
 
 

@@ -117,6 +117,46 @@ def test_glb_default_white_materials_get_atlas_cells(tmp_path):
         np.testing.assert_allclose(texel, expect, atol=1 / 255.0)
 
 
+def test_loaded_texture_quantization_registry(tmp_path, rng):
+    """load_mesh verifies 255-quantization on the host-side decoded image
+    and registers the device texture, so render's texture_pack_mode=
+    'auto' byte-packs file-loaded meshes WITHOUT pulling the array back
+    from the device — and the packed render is bit-identical (PNG images
+    are k/255 by construction)."""
+    import jax.numpy as jnp
+
+    from worldrenderer_tpu import get_camera
+    from worldrenderer_tpu.mesh import is_registered_quantized_texture
+    from worldrenderer_tpu.render import render
+
+    verts, faces, uv = uv_sphere_mesh(9, 17)
+    # >= 512^2 texels: render's auto pack only upgrades big tables (the
+    # packed gather LOSES on small coherent atlases — measured 0.90x on
+    # the town fixture's 256x768 strip; PERF.md §2).
+    tex = rng.random((512, 512, 3)).astype(np.float32)
+    p = tmp_path / "m.glb"
+    save_glb(p, verts.astype(np.float32), faces.astype(np.uint32), uv=uv,
+             texture=tex)
+    mesh = load_mesh(str(p))
+    assert is_registered_quantized_texture(mesh.texture)
+    # A directly-constructed float texture is NOT registered.
+    assert not is_registered_quantized_texture(jnp.asarray(tex))
+
+    cam = get_camera(
+        elevation_deg=[20.0], distance=[2.7], fovy_deg=[40.0],
+        azimuth_deg=[30.0],
+    )
+    auto = render(mesh, cam, 64, 64, render_attr=True)
+    packed = render(mesh, cam, 64, 64, render_attr=True,
+                    texture_pack_mode="u8")
+    unpacked = render(mesh, cam, 64, 64, render_attr=True,
+                      texture_pack_mode="none")
+    np.testing.assert_array_equal(np.asarray(auto.attr),
+                                  np.asarray(packed.attr))
+    np.testing.assert_array_equal(np.asarray(packed.attr),
+                                  np.asarray(unpacked.attr))
+
+
 def test_camera_json_roundtrip(tmp_path):
     cam = build_camera(4, 256, 256)
     p = tmp_path / "cam.json"

@@ -353,6 +353,30 @@ def unify_mesh_uv(mesh: TexturedMesh) -> TexturedMesh:
 _UNIFY_CACHE: dict = {}
 _UNIFY_CACHE_CAP = 8
 
+# Device textures whose 255-quantization was established HOST-side at
+# load time (decoded image files are k/255 by construction — verified on
+# the numpy array before upload). render's texture_pack_mode='auto'
+# consults this instead of pulling a device array back through the
+# tunnel (~2 MB/s); without it, every GLB/PNG-loaded mesh silently pays
+# the 4x-wider f32 quad-table gather on TPU (measured 36% of the town
+# frame). Same id-keyed strong-ref pattern as _UNIFY_CACHE: the entry
+# pins the array, so its id cannot be recycled while registered; lookup
+# double-checks identity.
+_QUANT_TEX_CACHE: dict = {}
+_QUANT_TEX_CACHE_CAP = 16
+
+
+def register_quantized_texture(arr) -> None:
+    """Mark a (usually device) texture array as exactly 255-quantized —
+    caller must have verified quantization on the HOST-side source."""
+    if len(_QUANT_TEX_CACHE) >= _QUANT_TEX_CACHE_CAP:
+        _QUANT_TEX_CACHE.pop(next(iter(_QUANT_TEX_CACHE)))
+    _QUANT_TEX_CACHE[id(arr)] = arr
+
+
+def is_registered_quantized_texture(arr) -> bool:
+    return _QUANT_TEX_CACHE.get(id(arr)) is arr
+
 
 def _unify_cached(mesh: TexturedMesh) -> TexturedMesh:
     k = (
@@ -528,6 +552,16 @@ def load_mesh(
         t_tex_idx = t_pos_idx
         if tex_img is not None:
             texture_arr = jnp.asarray(tex_img)
+            # Host-side quantization check BEFORE the array leaves numpy:
+            # image-file textures are k/255 by construction, which makes
+            # the byte-packed quad table bit-exact (ops/texture.py). The
+            # registration lets render's pack auto-detection engage for
+            # device-resident loaded meshes.
+            a = np.asarray(tex_img, np.float32)
+            if a.size and a.min() >= 0.0 and a.max() <= 1.0:
+                r = a * 255.0
+                if np.abs(r - np.round(r)).max() <= 1e-4:
+                    register_quantized_texture(texture_arr)
         else:
             assert default_uv_size is not None, "need default_uv_size without texture"
             texture_arr = jnp.zeros((default_uv_size, default_uv_size, 3), jnp.float32)

@@ -314,6 +314,29 @@ def render(
         # texture_pack_mode='u8'.
         texture_pack_mode = "none"
         tex_auto = texture_override if texture_override is not None else mesh.texture
+        # Size gate: packing trades 4x narrower gather rows for per-row
+        # byte-unpack VPU work, and the trade is SHAPE-DEPENDENT (PERF.md
+        # §1-2: never predict gather perf): measured interleaved on-chip,
+        # u8 wins 1.14x on a 1024^2 table (config4) and LOSES 0.90x on
+        # the town fixture's 256x768 strip atlas, whose gather already
+        # runs at coherent-row speed. Auto only upgrades tables at least
+        # ~512^2 texels; explicit texture_pack_mode='u8' is always
+        # honored (bit-exact either way for quantized textures).
+        big_enough = (
+            tex_auto is not None
+            and hasattr(tex_auto, "shape")
+            and len(tex_auto.shape) >= 2
+            and int(tex_auto.shape[0]) * int(tex_auto.shape[1]) >= 512 * 512
+        )
+        if render_attr and texture_filter_mode != "auto_mip" and big_enough:
+            # Load-time registration: load_mesh verified quantization on
+            # the HOST numpy image before upload, so device-resident
+            # loaded meshes take the packed path with zero transfers
+            # (mesh.register_quantized_texture).
+            from .mesh import is_registered_quantized_texture
+
+            if is_registered_quantized_texture(tex_auto):
+                texture_pack_mode = "u8"
         checkable = isinstance(tex_auto, np.ndarray)
         if (
             not checkable
@@ -328,7 +351,10 @@ def render(
                 )
             except Exception:
                 checkable = False
-        if render_attr and texture_filter_mode != "auto_mip" and checkable:
+        if (
+            render_attr and texture_filter_mode != "auto_mip"
+            and checkable and big_enough
+        ):
             a = np.asarray(tex_auto)
             if a.size and a.min() >= 0.0 and a.max() <= 1.0:
                 r = a * 255.0
