@@ -11,6 +11,8 @@ position+normal G-buffers of a ~10k-triangle mesh (BASELINE.md north-star:
     python bench.py config3    # fractal terrain, 8 shaded aerial views 512^2
     python bench.py config4    # 10k tris + UV texture + materials at 1024^2
     python bench.py config5    # dataset sweep: meshes x 12 poses, views/s/chip
+    python bench.py town       # committed real-scene fixture (atlas+seams+cull)
+    python bench.py stress1m_closed # closed ~1M-tri sphere, raw + backface cull
     python bench.py projection # camera_projection e2e at uv_size 2048
     python bench.py projection_full # + Poisson(1000) + uv padding (ref default)
     python bench.py all        # every config, one JSON line each
@@ -1085,7 +1087,9 @@ def main():
         "config3": bench_config3,
         "config4": bench_config4,
         "config5": bench_config5,
+        "town": bench_town,
         "stress1m": bench_stress1m,
+        "stress1m_closed": _stress1m_closed_metric,
         "projection": bench_projection,
         "projection_full": bench_projection_full,
         "bake4k": bench_bake4k,

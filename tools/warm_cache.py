@@ -36,7 +36,9 @@ def main():
         "config3": bench.bench_config3,
         "config4": bench.bench_config4,
         "config5": bench.bench_config5,
+        "town": bench.bench_town,
         "stress1m": bench.bench_stress1m,
+        "stress1m_closed": bench._stress1m_closed_metric,
         "projection": bench.bench_projection,
         "projection_full": bench.bench_projection_full,
         "bake4k": bench.bench_bake4k,
